@@ -1,0 +1,36 @@
+"""vokselis_tpu — a TPU-native (JAX / XLA / Pallas) volume-rendering framework.
+
+A ground-up rebuild of the capabilities of pudnax/vokselis (Rust + wgpu/WGSL,
+reference at /root/reference) as an idiomatic JAX engine:
+
+- the reference's WGSL raymarch kernels (shaders/raycast_naive.wgsl,
+  shaders/raycast_compute.wgsl, shaders/xor.wgsl, shaders/present.wgsl) become
+  jitted JAX ops and fused Pallas TPU kernels over tiled ray blocks
+  (:mod:`vokselis_tpu.ops`);
+- its orbit camera (src/camera.rs) becomes a pure-JAX camera module
+  (:mod:`vokselis_tpu.core.camera`);
+- its wgpu device context / HDR backbuffer / present pass (src/context.rs and
+  submodules) become :mod:`vokselis_tpu.engine`;
+- its shader hot-reload watcher (src/watcher.rs) becomes re-jit-on-edit
+  reloading (:mod:`vokselis_tpu.engine.reload`);
+- its screenshot/ffmpeg recorder (src/utils/recorder.rs) becomes a host-side
+  capture pipeline with a native C++ fast path (:mod:`vokselis_tpu.media`);
+- scale-out over TPU meshes (absent in the single-GPU reference) lives in
+  :mod:`vokselis_tpu.parallel`.
+"""
+
+__version__ = "0.1.0"
+
+from vokselis_tpu.core.camera import Camera, CameraUniform
+from vokselis_tpu.core.uniforms import GlobalUniform
+from vokselis_tpu.core.config import RenderConfig
+from vokselis_tpu.utils.grid import dispatch_optimal
+
+__all__ = [
+    "Camera",
+    "CameraUniform",
+    "GlobalUniform",
+    "RenderConfig",
+    "dispatch_optimal",
+    "__version__",
+]

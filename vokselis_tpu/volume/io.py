@@ -1,0 +1,142 @@
+"""Volume IO: .raw loading and the bonsai stand-in.
+
+The reference embeds ``bonsai_256x256x256_uint8.raw`` via include_bytes!
+(src/context/volume_texture.rs:33) and uploads it into a 256^3 R8Unorm 3D
+texture (src/context/volume_texture.rs:34-59). That blob is stripped from this
+checkout (.MISSING_LARGE_BLOBS), so :func:`get_bonsai` loads a real .raw if
+present and otherwise synthesizes a deterministic bonsai-like CT stand-in with
+comparable occupancy statistics (so march early-exit behavior, and therefore
+benchmarks, are representative).
+
+Array convention: volumes are ``(D, H, W)`` = indexed ``[z, y, x]`` with x the
+fastest-varying axis, matching the texture's linear layout; world position
+``p = (x, y, z)`` samples axis order (W, H, D).
+
+A native C++ loader (vokselis_tpu.native) is used for large files when built;
+numpy.fromfile is the fallback.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DEFAULT_DIMS = (256, 256, 256)
+
+
+def load_raw(path: str, dims=DEFAULT_DIMS, dtype=np.uint8) -> np.ndarray:
+    """Load a raw little-endian volume; returns (D, H, W) ndarray."""
+    d, h, w = dims
+    expected = d * h * w * np.dtype(dtype).itemsize
+    size = os.path.getsize(path)
+    if size != expected:
+        raise ValueError(
+            f"{path}: size {size} != expected {expected} for dims {dims} {np.dtype(dtype)}"
+        )
+    try:
+        from vokselis_tpu.native import load_raw_native
+
+        arr = load_raw_native(path, expected)
+        if arr is not None:
+            return arr.view(dtype).reshape(dims)
+    except Exception:
+        pass
+    return np.fromfile(path, dtype=dtype).reshape(dims)
+
+
+def synthetic_bonsai(n: int = 256, seed: int = 7) -> np.ndarray:
+    """Deterministic bonsai-tree stand-in volume, (n, n, n) uint8.
+
+    Built from a pot (annulus of soil), a bent trunk with branches, and
+    noise-modulated foliage blobs; ~8-15% of voxels are non-zero, similar to
+    a CT bonsai scan, so raymarch workloads (steps until opacity saturation)
+    are representative.
+    """
+    rng = np.random.default_rng(seed)
+    zs, ys, xs = np.meshgrid(
+        np.linspace(0, 1, n, dtype=np.float32),
+        np.linspace(0, 1, n, dtype=np.float32),
+        np.linspace(0, 1, n, dtype=np.float32),
+        indexing="ij",
+    )
+    # note: world (x, y, z) = (xs, ys, zs); y is 'up' for the bonsai.
+    vol = np.zeros((n, n, n), np.float32)
+
+    # pot: squat cylinder around the center bottom
+    r_xy = np.sqrt((xs - 0.5) ** 2 + (zs - 0.5) ** 2)
+    pot = (ys < 0.18) & (ys > 0.04) & (r_xy < 0.28 - 0.2 * (0.18 - ys))
+    vol[pot] = 0.55
+
+    # trunk: a bent tapered tube, parameterized along y
+    t = np.clip((ys - 0.16) / 0.45, 0.0, 1.0)
+    cx = 0.5 + 0.12 * np.sin(3.0 * t) * t
+    cz = 0.5 + 0.10 * (np.cos(2.2 * t) - 1.0) * t
+    r_trunk = 0.045 * (1.0 - 0.75 * t)
+    trunk = ((xs - cx) ** 2 + (zs - cz) ** 2 < r_trunk**2) & (ys >= 0.16) & (ys < 0.62)
+    vol[trunk] = 0.85
+
+    # foliage: fbm-ish noise thresholded inside a few canopy ellipsoids
+    def value_noise(shape, cells, rng):
+        g = rng.random((cells, cells, cells)).astype(np.float32)
+        idx = np.linspace(0, cells - 1, shape, dtype=np.float32)
+        i0 = np.floor(idx).astype(np.int32)
+        f = idx - i0
+        i1 = np.minimum(i0 + 1, cells - 1)
+        f = f * f * (3 - 2 * f)
+
+        def lerp_axis(a, axis):
+            a0 = np.take(a, i0, axis=axis)
+            a1 = np.take(a, i1, axis=axis)
+            fb = f.reshape([-1 if ax == axis else 1 for ax in range(3)])
+            return a0 * (1 - fb) + a1 * fb
+
+        out = g
+        for ax in range(3):
+            out = lerp_axis(out, ax)
+        return out
+
+    noise = (
+        0.55 * value_noise(n, 10, rng)
+        + 0.3 * value_noise(n, 21, rng)
+        + 0.15 * value_noise(n, 43, rng)
+    )
+
+    canopies = [
+        (0.52, 0.68, 0.45, 0.26, 0.14, 0.22),
+        (0.38, 0.58, 0.55, 0.16, 0.10, 0.15),
+        (0.66, 0.60, 0.52, 0.14, 0.09, 0.13),
+    ]
+    foliage_mask = np.zeros((n, n, n), bool)
+    for cx_, cy_, cz_, rx, ry, rz in canopies:
+        e = ((xs - cx_) / rx) ** 2 + ((ys - cy_) / ry) ** 2 + ((zs - cz_) / rz) ** 2
+        foliage_mask |= e < 1.0
+    foliage = foliage_mask & (noise > 0.48)
+    vol[foliage] = np.clip(0.3 + 0.6 * (noise[foliage] - 0.48) / 0.4, 0.0, 0.95)
+
+    return (vol * 255.0 + 0.5).astype(np.uint8)
+
+
+_BONSAI_CACHE: dict = {}
+
+
+def get_bonsai(n: int = 256) -> np.ndarray:
+    """Return the bonsai volume: the real scan if ``data/bonsai_256x256x256_uint8.raw``
+    (or $VOKSELIS_BONSAI_RAW) exists, else the deterministic synthetic stand-in."""
+    key = n
+    if key in _BONSAI_CACHE:
+        return _BONSAI_CACHE[key]
+    candidates = [
+        os.environ.get("VOKSELIS_BONSAI_RAW", ""),
+        os.path.join(os.path.dirname(__file__), "..", "..", "data",
+                     f"bonsai_{n}x{n}x{n}_uint8.raw"),
+    ]
+    vol = None
+    for c in candidates:
+        if c and os.path.isfile(c):
+            vol = load_raw(c, (n, n, n))
+            break
+    if vol is None:
+        vol = synthetic_bonsai(n)
+    _BONSAI_CACHE[key] = vol
+    return vol
