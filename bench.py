@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the flagship metric.
+
+Flagship: bonsai 256^3 trilinear raymarch at 1024x1024 (BASELINE.json
+config 3) on the fused Pallas slab-march kernel, reported as Mrays/sec/chip.
+``vs_baseline`` is measured / 500 (the north-star target; the reference
+publishes no numbers of its own — BASELINE.md).
+
+Timing method: this environment's device tunnel has a ~29 ms per-dispatch
+round-trip floor and an unreliable block_until_ready, so per-frame time is
+the SLOPE between 1-frame and N-frame on-device loops (camera varied by a
+loop-carried epsilon so nothing folds or hoists).
+
+Run with --all for the full BASELINE.json config table (stderr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def slope_time(build_frames_fn, n_hi: int = 5):
+    """Per-frame seconds via multi-frame dispatch slope."""
+    import numpy as np
+
+    f1 = build_frames_fn(1)
+    fN = build_frames_fn(n_hi)
+    np.asarray(f1())  # compile
+    np.asarray(fN())
+    t = time.time(); np.asarray(f1()); t1 = time.time() - t
+    t = time.time(); np.asarray(fN()); tn = time.time() - t
+    return max((tn - t1) / (n_hi - 1), 1e-9)
+
+
+def bench_bonsai(width=1024, height=1024, use_pallas=None):
+    import jax
+    import jax.numpy as jnp
+
+    from vokselis_tpu.core.camera import Camera, CameraUniform
+    from vokselis_tpu.volume.io import get_bonsai
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    u0 = Camera.bonsai(1.0).uniform()
+    vol = get_bonsai()
+
+    if use_pallas:
+        from vokselis_tpu.ops.pallas.march_bonsai import (
+            MAX_STEPS_BONSAI,
+            _render_bonsai_pallas,
+            prepare_volume,
+        )
+
+        dims, layouts = prepare_volume(vol)
+
+        def render(u, w, h):
+            return _render_bonsai_pallas(layouts, u, w, h, dims,
+                                         MAX_STEPS_BONSAI, True)[0]
+    else:
+        from vokselis_tpu.ops.reference import render_bonsai
+
+        volj = jnp.asarray(vol)
+
+        def render(u, w, h):
+            return render_bonsai(volj, u, width=w, height=h)
+
+    def build(n):
+        def frames(vp, pv, ip):
+            def body(i, acc):
+                u = CameraUniform(vp + acc * 1e-20, pv, ip)
+                img = render(u, width, height)
+                return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        jf = jax.jit(frames)
+        return lambda: jf(u0.view_position, u0.proj_view, u0.inv_proj)
+
+    sec = slope_time(build)
+    return width * height / sec / 1e6, sec
+
+
+def bench_field(width=512, height=512, field="noise", shading="xor"):
+    import jax
+    import jax.numpy as jnp
+
+    from vokselis_tpu.core.camera import Camera, CameraUniform
+    from vokselis_tpu.ops.pallas.march_field import render_field_pallas
+
+    u0 = Camera.xor(1.0).uniform()
+
+    def build(n):
+        def frames(vp, pv, ip):
+            def body(i, acc):
+                u = CameraUniform(vp + acc * 1e-20, pv, ip)
+                img = render_field_pallas(u, 0.0, width, height,
+                                          field=field, shading=shading)
+                return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        jf = jax.jit(frames)
+        return lambda: jf(u0.view_position, u0.proj_view, u0.inv_proj)
+
+    sec = slope_time(build)
+    return width * height / sec / 1e6, sec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="run every config")
+    ap.add_argument("--cpu-oracle", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    results = {}
+    t0 = time.time()
+    mrays, sec = bench_bonsai()
+    results["bonsai_1024"] = (mrays, sec)
+    _log(f"config 3 bonsai 256^3 @1024^2: {sec*1000:.1f} ms/frame = "
+         f"{mrays:.1f} Mrays/s  [{time.time()-t0:.0f}s elapsed]")
+
+    if args.all:
+        for name, kw in (
+            ("trig_512", dict(width=512, height=512, field="trig",
+                              shading="emission")),
+            ("xor_512", dict(width=512, height=512)),
+        ):
+            m, s = bench_field(**kw)
+            results[name] = (m, s)
+            _log(f"{name}: {s*1000:.1f} ms/frame = {m:.1f} Mrays/s")
+        m, s = bench_bonsai(width=1920, height=1080)
+        results["bonsai_1080p"] = (m, s)
+        _log(f"config 4 bonsai @1080p: {s*1000:.1f} ms/frame = {m:.1f} Mrays/s")
+
+    mrays = results["bonsai_1024"][0]
+    print(json.dumps({
+        "metric": "Mrays/sec/chip (bonsai 256^3 @ 1024^2, Pallas slab-march)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

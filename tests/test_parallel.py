@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 point 4 / §2d)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vokselis_tpu.core.camera import Camera
+from vokselis_tpu.parallel.sharding import (
+    make_mesh,
+    multi_view_step,
+    orbit_camera_batch,
+    render_frame_tiled,
+    render_views_sharded,
+)
+from vokselis_tpu.volume.io import get_bonsai
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _vol():
+    return jnp.asarray(get_bonsai(16))
+
+
+class TestSharding:
+    def test_view_sharded_matches_single_device(self):
+        mesh = make_mesh(views=8, tiles=1)
+        vol = _vol()
+        cams = orbit_camera_batch(8)
+        out = render_views_sharded(mesh, vol, cams, 16, 16, max_steps=8)
+        out = np.asarray(out)
+        assert out.shape == (8, 16, 16, 4)
+        # compare one view against the plain oracle
+        from vokselis_tpu.ops.reference import render_bonsai
+
+        one = jax.tree.map(lambda x: x[3], cams)
+        ref = np.asarray(render_bonsai(vol, one, width=16, height=16, max_steps=8))
+        np.testing.assert_allclose(out[3], ref, atol=1e-5)
+
+    def test_gathered_replication(self):
+        mesh = make_mesh(views=4, tiles=2)
+        out = multi_view_step(mesh, _vol(), n_views=8, width=16, height=16,
+                              max_steps=4, gather=True)
+        assert np.asarray(out).shape == (8, 16, 16, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_tile_sharded_frame_matches(self):
+        mesh = make_mesh(views=4, tiles=2)
+        vol = _vol()
+        cam = Camera.bonsai(1.0).uniform()
+        img = np.asarray(
+            render_frame_tiled(mesh, vol, cam, width=16, height=16, max_steps=8)
+        )
+        from vokselis_tpu.ops.reference import render_bonsai
+
+        ref = np.asarray(render_bonsai(vol, cam, width=16, height=16, max_steps=8))
+        np.testing.assert_allclose(img, ref, atol=1e-5)
+
+    def test_graft_dryrun(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_graft_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = np.asarray(jax.jit(fn)(*args))
+        assert out.shape[-1] == 4
+        assert np.isfinite(out).all()

@@ -94,6 +94,59 @@ def rays_fragment(camera_uniform, width: int, height: int):
     return eye, d
 
 
+def rays_fragment_soa(camera_uniform, width: int, height: int):
+    """SoA variant of :func:`rays_fragment` for TPU kernels: returns
+    (eye (3,), (dx, dy, dz) each (H, W))."""
+    px, py = pixel_centers(width, height)
+    ndc_x = 2.0 * px / width - 1.0
+    ndc_y = 1.0 - 2.0 * py / height
+    inv = camera_uniform.inv_proj
+    nx, ny, nz, nw = mat4_apply(inv, ndc_x, ndc_y, jnp.float32(0.0))
+    fx, fy, fz, fw = mat4_apply(inv, ndc_x, ndc_y, jnp.float32(1.0))
+    dx = fx / fw - nx / nw
+    dy = fy / fw - ny / nw
+    dz = fz / fw - nz / nw
+    inv_len = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return camera_uniform.view_position[:3], (dx * inv_len, dy * inv_len, dz * inv_len)
+
+
+def rays_compute_soa(camera_uniform, width: int, height: int, offset_x=0.0, offset_y=0.0):
+    """SoA variant of :func:`rays_compute`: returns ((ex,ey,ez), (dx,dy,dz)),
+    each component (H, W)."""
+    px, py = pixel_centers(width, height)
+    coord_x = px - 0.5 + offset_x
+    coord_y = py - 0.5 + offset_y
+    aspect_ratio = float(height) / float(width)
+    sx = 2.0 * coord_x / width - 1.0
+    sy = (2.0 * coord_y / height - 1.0) * (-aspect_ratio)
+    inv = camera_uniform.inv_proj
+    nx, ny, nz, nw = mat4_apply(inv, sx, sy, jnp.float32(0.0))
+    fx, fy, fz, fw = mat4_apply(inv, sx, sy, jnp.float32(1.0))
+    ex, ey, ez = nx / nw, ny / nw, nz / nw
+    dx = fx / fw - ex
+    dy = fy / fw - ey
+    dz = fz / fw - ez
+    inv_len = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return (ex, ey, ez), (dx * inv_len, dy * inv_len, dz * inv_len)
+
+
+def intersect_box_soa(ex, ey, ez, dx, dy, dz, box_min: float, box_max: float):
+    """SoA slab test; returns (t0, t1) arrays."""
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ax0, ax1 = (box_min - ex) * ix, (box_max - ex) * ix
+    ay0, ay1 = (box_min - ey) * iy, (box_max - ey) * iy
+    az0, az1 = (box_min - ez) * iz, (box_max - ez) * iz
+    t0 = jnp.maximum(
+        jnp.minimum(ax0, ax1),
+        jnp.maximum(jnp.minimum(ay0, ay1), jnp.minimum(az0, az1)),
+    )
+    t1 = jnp.minimum(
+        jnp.maximum(ax0, ax1),
+        jnp.minimum(jnp.maximum(ay0, ay1), jnp.maximum(az0, az1)),
+    )
+    return t0, t1
+
+
 def rays_compute(camera_uniform, width: int, height: int, offset_x=0.0, offset_y=0.0):
     """Compute-path rays, replicating shaders/raycast_compute.wgsl:99-117
     verbatim, including the ``screen.y *= -aspect_ratio`` quirk

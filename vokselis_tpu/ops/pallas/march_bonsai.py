@@ -1,0 +1,481 @@
+"""Fused Pallas trilinear raymarch of a voxel grid (bonsai path).
+
+TPU-native rebuild of shaders/raycast_naive.wgsl fs_main (:84-125). The
+reference's per-pixel fragment march performs ~400 trilinear texture fetches
+per ray; TPUs have no texture units and XLA gathers run at scalar rate
+(~0.02 Mray/s measured on v5e). This kernel restructures the march around a
+key property of the reference's step size (raycast_naive.wgsl:97-99):
+
+    dt = 1 / (256 * max|dir|)  =>  each step advances the ray's DOMINANT
+    axis by exactly one voxel.
+
+Therefore, per ray, the dominant-axis (m) texel coordinate at step j is
+``X_m(j) = X_m(0) + j*s`` with a constant fraction — every ray visits
+consecutive volume slabs, one per step, in its sign direction. Design:
+
+1. rays are classified by (dominant axis m, sign s) — 6 classes. Each class
+   gets its own slab-major uint8 volume layout in HBM, with negative-sign
+   classes PRE-FLIPPED along the slab axis so every class marches in
+   ascending slab order (tap order reverses, so ``k0' = D-2-k0`` and
+   ``fm' = 1-fm``). All 6 layouts are stacked into one array of overlapped
+   9-slab chunks (chunk c holds clamped slabs 8c-1..8c+7), so ONE kernel
+   (and one Mosaic compile) serves every class via a scalar-prefetched
+   chunk-base index — a single leading-index DMA fetches 8 march steps of
+   data (per-slab DMA latency dominated the naive pipeline; ``pl.ds`` DMA
+   slicing does not compile on this toolchain);
+2. 32x32-pixel image tiles are packed into (8,128) blocks (an 8x128 screen
+   strip has a huge slab footprint; a 32x32 tile stays within the window);
+3. per (class, tile) grid step, slabs sweep front-to-back with
+   double-buffered chunk DMAs and tile-level early exit (draining in-flight
+   DMAs) replacing the per-pixel break at opacity 0.95 (:115-117);
+4. the trilinear sample is ``lerp_m(bilinear(slab k), bilinear(slab k+1))``;
+   the bilinear runs as a dynamic-length window-row scan: rows broadcast +
+   lane-gathered (``take_along_axis`` along 128 lanes is vector-rate;
+   sublane gather does not exist on this target), with the u-window located
+   by a dynamic lane roll;
+5. transfer function faithful to the reference: the ``min(0.9, v)``
+   clamp-arg-order quirk, smoothstep(0.10, 1.2), vertigo palette,
+   front-to-back under-compositing.
+
+Limitations (flagged via the ``overflow`` output): requires dt_scale == 1
+(the slab-order identity) and per-tile-per-slab footprints <= (WIN_V-8, 127)
+voxels — all BASELINE.json configs fit at >= 512x512 output.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vokselis_tpu.core import geometry
+from vokselis_tpu.core.colors import TAU, linear_to_srgb, smoothstep
+from vokselis_tpu.utils.grid import cdiv
+
+MAX_STEPS_BONSAI = int(math.ceil(math.sqrt(3.0) * 256.0)) + 1
+
+# (v-axis, u-axis) per dominant axis m (world axes 0=x, 1=y, 2=z)
+_AXES = {0: (2, 1), 1: (2, 0), 2: (1, 0)}
+
+WIN_V = 48  # slab-window rows; u window is 128 lanes after the roll
+TILE = 32  # pixel tile edge; one (8,128) block = one 32x32 tile
+CHUNK = 8  # march slabs per DMA chunk (chunk holds CHUNK+1 slabs)
+
+
+def _vertigo_soa(t):
+    """vertigo palette (raycast_naive.wgsl:75-81), SoA channels."""
+    r = 0.5 + 0.5 * jnp.cos(TAU * (1.0 * t + 0.0))
+    g = 0.5 + 0.5 * jnp.cos(TAU * (1.7 * t + 0.15))
+    b = 0.5 + 0.5 * jnp.cos(TAU * (0.4 * t + 0.20))
+    return r, g, b
+
+
+def _march_kernel(
+    cbase_ref,  # scalar-prefetch: (grid,) int32 chunk-base index per grid step
+    vol_hbm,  # (6*n_chunks, CHUNK+1, D, D) uint8 — flipped+stacked chunks
+    u0r, v0r, dur, dvr, fmr, k0r, nr, maskr,  # ray blocks (8, 128)
+    out_r, out_g, out_b, out_a, out_ovf,
+    buf_a, buf_b,  # scratch (CHUNK+1, D, D) uint8
+    win0, win1,  # scratch (win_v, 128) f32
+    sem_a, sem_b,
+    *,
+    dims: int,
+):
+    win_v = min(WIN_V, dims)
+    win_u = min(128, dims)
+    cbase = cbase_ref[pl.program_id(0)]
+    u0, v0 = u0r[:], v0r[:]
+    du, dv = dur[:], dvr[:]
+    fm = fmr[:]
+    k0 = k0r[:]
+    nsteps = nr[:]
+    mask = maskr[:] > 0.5
+    any_ray = jnp.any(mask)
+
+    n_chunks = cdiv(dims + 1, CHUNK)
+    big = jnp.int32(10 * dims)
+    k_last_per_ray = k0 + nsteps - 1
+    k_first = jnp.clip(jnp.min(jnp.where(mask, k0, big)), -1, dims - 1)
+    k_last = jnp.clip(jnp.max(jnp.where(mask, k_last_per_ray, -big)), -1, dims - 1)
+    # chunk c covers k in [8c-1, 8c+6]
+    c_first = jnp.clip((k_first + 1) // CHUNK, 0, n_chunks - 1)
+    c_last = jnp.clip((k_last + 1) // CHUNK, 0, n_chunks - 1)
+    n_c = c_last - c_first + 1
+
+    def dma_chunk(buf, sem, c):
+        cc = jnp.clip(c, 0, n_chunks - 1)
+        return pltpu.make_async_copy(vol_hbm.at[cbase + cc], buf, sem)
+
+    @pl.when(any_ray)
+    def _prologue():
+        dma_chunk(buf_a, sem_a, c_first).start()
+
+        # single-chunk sweeps never wait on B; starting it would leak the
+        # semaphore into the next grid step (deadlock)
+        @pl.when(n_c > 1)
+        def _():
+            dma_chunk(buf_b, sem_b, c_first + 1).start()
+
+    zero = jnp.zeros_like(u0)
+    fdims = float(dims)
+
+    def slab_step(buf, s_in, c, state):
+        """One march slab k = 8c - 1 + s_in using buf[s_in], buf[s_in+1]."""
+        r, g, b, a, ovf = state
+        k = CHUNK * c - 1 + s_in
+        j = (k - k0).astype(jnp.float32)
+        active = mask & (j >= 0) & (j < nsteps) & (a < 0.95)
+        anyact = jnp.any(active)
+
+        def compute(r, g, b, a, ovf):
+            u = u0 + j * du
+            v = v0 + j * dv
+            fu0 = jnp.floor(u)
+            fv0 = jnp.floor(v)
+            iu0 = jnp.clip(fu0, 0.0, fdims - 1.0)
+            iu1 = jnp.clip(fu0 + 1.0, 0.0, fdims - 1.0)
+            iv0 = jnp.clip(fv0, 0.0, fdims - 1.0)
+            iv1 = jnp.clip(fv0 + 1.0, 0.0, fdims - 1.0)
+            fu = u - fu0
+            fv = v - fv0
+
+            u_base = jnp.min(jnp.where(active, iu0, fdims)).astype(jnp.int32)
+            v_base = jnp.min(jnp.where(active, iv0, fdims)).astype(jnp.int32)
+            u_max = jnp.max(jnp.where(active, iu1, 0.0)).astype(jnp.int32)
+            v_max = jnp.max(jnp.where(active, iv1, 0.0)).astype(jnp.int32)
+            v_base = (v_base // 8) * 8  # int8 sublane alignment
+            step_ovf = ((u_max - u_base) > win_u - 1) | ((v_max - v_base) > win_v - 1)
+            ovf2 = ovf | (step_ovf & anyact)
+            u_base = jnp.clip(u_base, 0, dims - win_u)
+            v_base = pl.multiple_of(jnp.clip(v_base, 0, dims - win_v), 8)
+            n_rows = jnp.clip(v_max - v_base + 1, 0, win_v)
+
+            ub_f = u_base.astype(jnp.float32)
+            vb_f = v_base.astype(jnp.float32)
+            iu0l = jnp.clip((iu0 - ub_f).astype(jnp.int32), 0, win_u - 1)
+            iu1l = jnp.clip((iu1 - ub_f).astype(jnp.int32), 0, win_u - 1)
+            iv0l = (iv0 - vb_f).astype(jnp.int32)
+            iv1l = (iv1 - vb_f).astype(jnp.int32)
+
+            for src, win in ((s_in, win0), (s_in + 1, win1)):
+                raw = buf[src, pl.ds(v_base, win_v), :]
+                w = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+                rolled = pltpu.roll(w, -u_base, 1)[:, :win_u]
+                if win_u < 128:
+                    # pad lanes to 128 so row broadcasts match the ray block
+                    rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
+                win[:] = rolled
+
+            def row_scan(cc, taps):
+                a00, a01, a10, a11 = taps
+                rowa = jnp.broadcast_to(win0[pl.ds(cc, 1), :], u0.shape)
+                rowb = jnp.broadcast_to(win1[pl.ds(cc, 1), :], u0.shape)
+                ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
+                ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
+                gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
+                gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
+                t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused at tap level
+                t1 = ga1 + (gb1 - ga1) * fm
+                m0 = iv0l == cc
+                m1 = iv1l == cc
+                return (
+                    jnp.where(m0, t0, a00),
+                    jnp.where(m0, t1, a01),
+                    jnp.where(m1, t0, a10),
+                    jnp.where(m1, t1, a11),
+                )
+
+            t00, t01, t10, t11 = lax.fori_loop(
+                0, n_rows, row_scan, (zero, zero, zero, zero)
+            )
+            c0 = t00 + (t01 - t00) * fu
+            c1 = t10 + (t11 - t10) * fu
+            samp = c0 + (c1 - c0) * fv
+
+            tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
+            cr, cg, cb = _vertigo_soa(tv)
+            one_m_a = 1.0 - a
+            w = one_m_a * tv
+            return (
+                jnp.where(active, r + w * cr, r),
+                jnp.where(active, g + w * cg, g),
+                jnp.where(active, b + w * cb, b),
+                jnp.where(active, a + one_m_a * tv, a),
+                ovf2,
+            )
+
+        return lax.cond(anyact, compute, lambda *s: s, r, g, b, a, ovf)
+
+    def process_chunk(buf, c, state):
+        for s_in in range(CHUNK):
+            state = slab_step(buf, s_in, c, state)
+        return state
+
+    def alive(c_next, a):
+        # any ray not yet opaque whose k-range the sweep hasn't passed
+        k_cursor = CHUNK * c_next - 1
+        return jnp.any(mask & (a < 0.95) & (k_cursor <= k_last_per_ray))
+
+    def body(carry):
+        i, c, r, g, b, a, ovf = carry
+        # stage A: buf_a holds chunk c (prologue or stage B's prefetch)
+        dma_chunk(buf_a, sem_a, c).wait()
+        r, g, b, a, ovf = process_chunk(buf_a, c, (r, g, b, a, ovf))
+        c2 = c + 1
+        go_b = (i + 1 < n_c) & alive(c2, a)
+
+        # stage B: buf_b holds chunk c+1 (prologue or previous stage A)
+        def stage_b(r, g, b, a, ovf):
+            dma_chunk(buf_b, sem_b, c2).wait()
+
+            @pl.when(i + 2 < n_c)
+            def _():
+                dma_chunk(buf_a, sem_a, c2 + 1).start()
+
+            return process_chunk(buf_b, c2, (r, g, b, a, ovf))
+
+        def drain_b(r, g, b, a, ovf):
+            # exiting before consuming buf_b's DMA: drain it
+            @pl.when(i + 1 < n_c)
+            def _():
+                dma_chunk(buf_b, sem_b, c2).wait()
+
+            return r, g, b, a, ovf
+
+        r, g, b, a, ovf = lax.cond(go_b, stage_b, drain_b, r, g, b, a, ovf)
+
+        c3 = c2 + 1
+        go_next = go_b & (i + 2 < n_c) & alive(c3, a)
+
+        def prefetch_b(ovf):
+            @pl.when(i + 3 < n_c)
+            def _():
+                dma_chunk(buf_b, sem_b, c3 + 1).start()
+
+            return ovf
+
+        def drain_a(ovf):
+            # stage B prefetched chunk c3 into buf_a; drain if exiting
+            @pl.when(go_b & (i + 2 < n_c))
+            def _():
+                dma_chunk(buf_a, sem_a, c3).wait()
+
+            return ovf
+
+        ovf = lax.cond(go_next, prefetch_b, drain_a, ovf)
+        return i + 2, c3, r, g, b, a, ovf
+
+    def cond(carry):
+        i, c, r, g, b, a, ovf = carry
+        return (i < n_c) & alive(c, a)
+
+    init = (jnp.int32(0), c_first, zero, zero, zero, zero, jnp.bool_(False))
+
+    def run(_):
+        return lax.while_loop(cond, body, init)
+
+    _, _, r, g, b, a, ovf = lax.cond(any_ray, run, lambda _: init, 0)
+
+    out_r[:] = jnp.where(mask, r, 0.0)
+    out_g[:] = jnp.where(mask, g, 0.0)
+    out_b[:] = jnp.where(mask, b, 0.0)
+    out_a[:] = jnp.where(mask, a, 0.0)
+    out_ovf[:] = jnp.broadcast_to(ovf.astype(jnp.float32), out_ovf.shape)
+
+
+def prepare_volume(vol_u8):
+    """Build the six slab-major overlapped-chunk uint8 layouts, stacked.
+
+    ``vol_u8``: (D, D, D) numpy/jnp uint8 indexed [z, y, x]. Class order is
+    (m=0,s=+1), (m=0,s=-1), (m=1,s=+1), ... — negative classes use the
+    slab-axis-reversed volume so the kernel always sweeps ascending.
+    Returns (dims, (6*n_chunks, CHUNK+1, D, D) device array).
+    """
+    vol_np = np.asarray(vol_u8)
+    assert vol_np.dtype == np.uint8, "bonsai kernel wants a uint8 volume"
+    d = vol_np.shape[0]
+    assert vol_np.shape == (d, d, d), "cubic volumes only (reference: 256^3)"
+    base = {
+        0: np.transpose(vol_np, (2, 0, 1)),  # m=x: [x][z][y] (v=z, u=y)
+        1: np.transpose(vol_np, (1, 0, 2)),  # m=y: [y][z][x] (v=z, u=x)
+        2: vol_np,  # m=z: [z][y][x] (v=y, u=x)
+    }
+    n_chunks = cdiv(d + 1, CHUNK)
+    idx = np.clip(
+        (np.arange(n_chunks)[:, None] * CHUNK - 1) + np.arange(CHUNK + 1)[None, :],
+        0,
+        d - 1,
+    )
+    stacks = []
+    for m in range(3):
+        for s in (1, -1):
+            lay = base[m] if s > 0 else base[m][::-1]
+            stacks.append(lay[idx])
+    return d, jnp.asarray(np.stack(stacks).reshape(-1, CHUNK + 1, d, d))
+
+
+def _pack_tiles(x, ph, pw):
+    """(ph, pw) -> (T*8, 128): each 32x32 image tile becomes one (8,128) block."""
+    t = x.reshape(ph // TILE, TILE, pw // TILE, TILE)
+    t = t.transpose(0, 2, 1, 3).reshape(-1, TILE * TILE)
+    return t.reshape(-1, 8, 128).reshape(-1, 128)
+
+
+def _unpack_tiles(x, ph, pw):
+    t = x.reshape(-1, 8, 128).reshape(ph // TILE, pw // TILE, TILE, TILE)
+    return t.transpose(0, 2, 1, 3).reshape(ph, pw)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "dims", "max_steps", "srgb"))
+def _render_bonsai_pallas(
+    vol_chunks,  # (6*n_chunks, CHUNK+1, D, D) uint8
+    camera_uniform,
+    width: int,
+    height: int,
+    dims: int,
+    max_steps: int,
+    srgb: bool,
+):
+    eye, (dx, dy, dz) = geometry.rays_fragment_soa(camera_uniform, width, height)
+    ex = jnp.broadcast_to(eye[0], dx.shape)
+    ey = jnp.broadcast_to(eye[1], dx.shape)
+    ez = jnp.broadcast_to(eye[2], dx.shape)
+    t0, t1 = geometry.intersect_box_soa(ex, ey, ez, dx, dy, dz, 0.0, 1.0)
+    hit = t0 <= t1
+    t_start = jnp.maximum(t0, 0.0)
+
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    amax = jnp.maximum(adx, jnp.maximum(ady, adz))
+    dt = 1.0 / (dims * amax)
+    m_axis = jnp.where(adx == amax, 0, jnp.where(ady == amax, 1, 2))
+    n_f = jnp.ceil((t1 - t_start) / dt)
+    n_f = jnp.clip(jnp.where(hit, n_f, 0.0), 0.0, float(max_steps))
+
+    comp = {0: (ex, dx), 1: (ey, dy), 2: (ez, dz)}
+
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+
+    def pack(x):
+        return _pack_tiles(jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw)
+
+    n_tiles = (ph // TILE) * (pw // TILE)
+    n_chunks = cdiv(dims + 1, CHUNK)
+
+    # per-class ray parameters, stacked along the grid axis
+    per_class = {k: [] for k in ("u0", "v0", "du", "dv", "fm", "k0", "n", "mask")}
+    cls_idx = 0
+    cbases = []
+    for m in range(3):
+        e_m, d_m = comp[m]
+        va, ua = _AXES[m]
+        e_u, d_u = comp[ua]
+        e_v, d_v = comp[va]
+        p0m = e_m + t_start * d_m
+        p0u = e_u + t_start * d_u
+        p0v = e_v + t_start * d_v
+        xm0 = p0m * dims - 0.5
+        k0f = jnp.floor(xm0)
+        fm = xm0 - k0f
+        u0 = p0u * dims - 0.5
+        v0 = p0v * dims - 0.5
+        du = d_u * dt * dims
+        dv = d_v * dt * dims
+        for s_sign in (1, -1):
+            mask = (
+                hit
+                & (m_axis == m)
+                & ((d_m >= 0) if s_sign > 0 else (d_m < 0))
+                & (n_f > 0)
+            ).astype(jnp.float32)
+            if s_sign > 0:
+                k0c, fmc = k0f, fm
+            else:
+                # flipped layout: taps reverse -> k0' = D-2-k0, fm' = 1-fm
+                k0c, fmc = (dims - 2) - k0f, 1.0 - fm
+            per_class["u0"].append(pack(u0))
+            per_class["v0"].append(pack(v0))
+            per_class["du"].append(pack(du))
+            per_class["dv"].append(pack(dv))
+            per_class["fm"].append(pack(fmc))
+            per_class["k0"].append(pack(k0c).astype(jnp.int32))
+            per_class["n"].append(pack(n_f).astype(jnp.int32))
+            per_class["mask"].append(pack(mask))
+            cbases.append(jnp.full((n_tiles,), cls_idx * n_chunks, jnp.int32))
+            cls_idx += 1
+
+    grid = (6 * n_tiles,)
+    ins = [jnp.concatenate(per_class[k], axis=0) for k in
+           ("u0", "v0", "du", "dv", "fm", "k0", "n", "mask")]
+    cbase = jnp.concatenate(cbases)
+
+    # with scalar prefetch, index maps receive the prefetch ref as extra arg
+    block = pl.BlockSpec((8, 128), lambda i, _cb: (i, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 8,
+        out_specs=[block] * 5,
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK + 1, dims, dims), jnp.uint8),
+            pltpu.VMEM((CHUNK + 1, dims, dims), jnp.uint8),
+            pltpu.VMEM((min(WIN_V, dims), 128), jnp.float32),
+            pltpu.VMEM((min(WIN_V, dims), 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    outs = pl.pallas_call(
+        partial(_march_kernel, dims=dims),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((6 * n_tiles * 8, 128), jnp.float32)] * 5,
+    )(cbase, vol_chunks, *ins)
+
+    # merge the 6 class contributions (each ray belongs to exactly one)
+    planes = [o.reshape(6, n_tiles * 8, 128).sum(0) for o in outs[:4]]
+    n_ovf = jnp.sum(outs[4]).astype(jnp.int32)
+    planes = [_unpack_tiles(p, ph, pw)[:height, :width] for p in planes]
+    rgb = jnp.stack(planes[:3], axis=-1)
+    if srgb:
+        rgb = linear_to_srgb(rgb)
+    alpha = jnp.ones((height, width, 1), jnp.float32)
+    return jnp.concatenate([rgb, alpha], axis=-1), n_ovf
+
+
+class BonsaiRenderer:
+    """Holds the per-volume slab-chunk layouts; call to render.
+
+    TPU-side analog of the reference's VolumeTexture + RaycastPipeline pair
+    (examples/bonsai/raycast.rs:12-141).
+    """
+
+    def __init__(self, vol_u8):
+        self.dims, self.layouts = prepare_volume(vol_u8)
+        self.last_overflow = 0
+
+    def __call__(
+        self,
+        camera_uniform,
+        width: int = 1280,
+        height: int = 720,
+        max_steps: int = MAX_STEPS_BONSAI,
+        srgb: bool = True,
+    ):
+        img, ovf = _render_bonsai_pallas(
+            self.layouts, camera_uniform, width, height,
+            self.dims, max_steps, srgb,
+        )
+        self.last_overflow = ovf
+        return img
+
+
+def render_bonsai_pallas(vol_u8, camera_uniform, width=1280, height=720, **kw):
+    """One-shot wrapper (rebuilds volume layouts every call — hold a
+    :class:`BonsaiRenderer` for repeated rendering)."""
+    return BonsaiRenderer(vol_u8)(camera_uniform, width, height, **kw)

@@ -1,0 +1,263 @@
+"""Fused Pallas raymarch kernel for procedural density fields.
+
+TPU-native rebuild of shaders/raycast_compute.wgsl (the xor demo's compute
+raymarch, :60-144) and the generic field march:
+
+- the reference's workgroup grid over 8x8 / 16x16 pixel tiles
+  (raycast_compute.wgsl:133,139) becomes the Pallas grid over (tile_h, tile_w)
+  ray blocks — the "tile mode" with dynamic offsets (examples/xor/main.rs:
+  235-254) IS the Pallas programming model (SURVEY.md §5);
+- the per-step ``textureLoad`` of precomputed rgba16float density/normal
+  volumes (raycast_compute.wgsl:70-72) becomes INLINE evaluation of the
+  procedural field at the same voxel-quantized coordinate — identical sample
+  placement, zero gathers (TPU gathers are scalar-rate; the VPU evaluates the
+  fbm field across all 1024 lanes of a tile at once);
+- the per-pixel early ``break`` at opacity 0.95 (:92-94) becomes a per-tile
+  ``while_loop`` exit once every lane in the tile is done or out of the box;
+- ray state is SoA (separate x/y/z planes) — a trailing (...,3) axis would
+  waste 125 of 128 lanes.
+
+Shading modes:
+- ``"xor"``: full K2 shading (Lambert + red directional with positional mask
+  + blue bottom fill, raycast_compute.wgsl:73-86) with normals from the
+  one-sided-difference gradient of the field (shaders/xor.wgsl:63-67);
+- ``"emission"``: framework-defined normal-free compositing (trig config).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vokselis_tpu.core import geometry
+from vokselis_tpu.core.colors import mix, smoothstep
+from vokselis_tpu.utils.grid import cdiv, round_up
+from vokselis_tpu.volume import fields_soa
+
+MAX_STEPS_COMPUTE = int(math.ceil(2.0 * math.sqrt(3.0) / 0.01)) + 1  # 348
+
+_CLEAR = (0.023, 0.02, 0.02, 0.0)  # raycast_compute.wgsl:119
+_L_DIR = (-2.0, -2.0, -1.0)
+_L_DIR_N = tuple(c / math.sqrt(9.0) for c in _L_DIR)
+_MASK_DIR_N = tuple(c / math.sqrt(3.0) for c in (1.0, 1.0, -1.0))
+
+
+def _march_kernel(
+    sin_t_ref,
+    ex, ey, ez, dx, dy, dz, t0r, t1r, dtr,
+    out_r, out_g, out_b, out_a,
+    *,
+    field: str,
+    shading: str,
+    dims: int,
+    quantize: bool,
+    max_steps: int,
+):
+    sin_t = sin_t_ref[0]
+    exv, eyv, ezv = ex[:], ey[:], ez[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    t0v, t1v, dtv = t0r[:], t1r[:], dtr[:]
+    hit = t0v < t1v
+
+    clear_r, clear_g, clear_b, clear_a = _CLEAR
+
+    # get_col2 init: color = (clear.rgb, 0.1) (raycast_compute.wgsl:61)
+    r0 = jnp.full_like(t0v, clear_r)
+    g0 = jnp.full_like(t0v, clear_g)
+    b0 = jnp.full_like(t0v, clear_b)
+    a0 = jnp.full_like(t0v, 0.1)
+
+    field_fn = {
+        "noise": fields_soa.noise_volume,
+        "xor": fields_soa.xor_field,
+        "trig": fields_soa.trig_field,
+    }[field]
+
+    def eval_field(px, py, pz):
+        if quantize:
+            # textureLoad at ivec3((p+1)*dims/2) -> voxel-center coord
+            # (raycast_compute.wgsl:70 + shaders/xor.wgsl:71-72)
+            half = dims / 2.0
+            gx = jnp.clip(jnp.floor((px + 1.0) * half), 0, dims - 1)
+            gy = jnp.clip(jnp.floor((py + 1.0) * half), 0, dims - 1)
+            gz = jnp.clip(jnp.floor((pz + 1.0) * half), 0, dims - 1)
+            cx, cy, cz = (gx - half) / dims, (gy - half) / dims, (gz - half) / dims
+        else:
+            cx, cy, cz = px, py, pz
+        return cx, cy, cz, field_fn(cx, cy, cz, sin_t)
+
+    def body(carry):
+        i, r, g, b, a, t = carry
+        active = hit & (t < t1v) & (a < 0.95)
+        px = exv + t * dxv
+        py = eyv + t * dyv
+        pz = ezv + t * dzv
+        cx, cy, cz, (val, valpha) = eval_field(px, py, pz)
+        vol_alpha = smoothstep(0.0, 0.7, valpha * valpha * valpha)
+
+        if shading == "xor":
+            # density texture stores vol.rgb/2 (shaders/xor.wgsl:76)
+            vr = vg = vb = val * 0.5
+            nx, ny, nz = fields_soa.gradient(cx, cy, cz, sin_t)
+            # Lambert vs light (0,-1,0): dot = -ny (raycast_compute.wgsl:64,73)
+            sh = jnp.maximum(0.0, -ny)
+            shr = shg = shb = sh
+            # red-tinted directional with positional mask (:81-83)
+            dshade = jnp.maximum(
+                nx * _L_DIR_N[0] + ny * _L_DIR_N[1] + nz * _L_DIR_N[2], 0.0
+            )
+            dmask = smoothstep(
+                0.3, 1.5, px * _MASK_DIR_N[0] + py * _MASK_DIR_N[1] + pz * _MASK_DIR_N[2]
+            )
+            d = 3.0 * dshade * dmask
+            vr = vr + d * 1.0
+            vg = vg + d * 0.1
+            vb = vb + d * 0.13
+            # blue bottom fill (:85-86)
+            bottom = 0.9 * jnp.clip(0.5 - 0.5 * ny, 0.0, 1.0)
+            shr = mix(shr, bottom * 0.0, 0.2)
+            shg = mix(shg, bottom * 0.0, 0.2)
+            shb = mix(shb, bottom * 0.6, 0.2)
+            cr = vr * shr
+            cg = vg * shg
+            cb = vb * shb
+        else:  # emission
+            cr = cg = cb = val
+
+        # front-to-back composite with clear-color ambient (:88-91)
+        one_m_a = 1.0 - a
+        nr = r + one_m_a * vol_alpha * cr + clear_r * clear_a * (1.0 - vol_alpha)
+        ng = g + one_m_a * vol_alpha * cg + clear_g * clear_a * (1.0 - vol_alpha)
+        nb = b + one_m_a * vol_alpha * cb + clear_b * clear_a * (1.0 - vol_alpha)
+        na = a + one_m_a * vol_alpha * (1.0 - clear_a)
+
+        r = jnp.where(active, nr, r)
+        g = jnp.where(active, ng, g)
+        b = jnp.where(active, nb, b)
+        a = jnp.where(active, na, a)
+        t = jnp.where(active, t + dtv, t)
+        return i + 1, r, g, b, a, t
+
+    def cond(carry):
+        i, r, g, b, a, t = carry
+        return (i < max_steps) & jnp.any(hit & (t < t1v) & (a < 0.95))
+
+    _, r, g, b, a, t = lax.while_loop(
+        cond, body, (jnp.int32(0), r0, g0, b0, a0, t0v)
+    )
+
+    # render(): miss pixels get the clear color, alpha forced to 1 (:121-128)
+    out_r[:] = jnp.where(hit, r, clear_r)
+    out_g[:] = jnp.where(hit, g, clear_g)
+    out_b[:] = jnp.where(hit, b, clear_b)
+    out_a[:] = jnp.ones_like(r)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "field", "shading", "dims", "quantize",
+        "max_steps", "tile_h", "tile_w", "interpret", "sphere_clip",
+    ),
+)
+def render_field_pallas(
+    camera_uniform,
+    time=0.0,
+    width: int = 1280,
+    height: int = 720,
+    field: str = "noise",
+    shading: str = "xor",
+    dims: int = 256,
+    quantize: bool = True,
+    max_steps: int = MAX_STEPS_COMPUTE,
+    tile_h: int = 128,
+    tile_w: int = 128,
+    interpret: bool = False,
+    sphere_clip: bool = True,
+):
+    """Render the compute path with the field evaluated inline in a fused
+    Pallas kernel. Returns (height, width, 4) f32, matching
+    :func:`vokselis_tpu.ops.reference.render_compute_inline`."""
+    time = jnp.asarray(time, jnp.float32)
+    # raygen + slab test in XLA (cheap, once per frame), SoA
+    (ex, ey, ez), (dx, dy, dz) = geometry.rays_compute_soa(camera_uniform, width, height)
+    t0, t1 = geometry.intersect_box_soa(ex, ey, ez, dx, dy, dz, -1.0, 1.0)
+    t0 = jnp.maximum(t0, 0.0)
+    dt = jnp.maximum(
+        jnp.minimum(
+            1.0 / (dims * jnp.abs(dx)),
+            jnp.minimum(1.0 / (dims * jnp.abs(dy)), 1.0 / (dims * jnp.abs(dz))),
+        ),
+        0.01,
+    )
+
+    # exact empty-space clip: every field windows its alpha to zero beyond
+    # |coord| = R (e.g. smoothstep(0.5, 0.25, len) for the fbm field,
+    # shaders/xor.wgsl:60), and with clear.a == 0 a zero-alpha step
+    # contributes exactly nothing to the composite (raycast_compute.wgsl:
+    # 88-91) — so the march can jump along its own t-lattice to the
+    # bounding sphere and stop past it, bit-identically.
+    # quantized fields see coord = (g - D/2)/D which is ~p/2, so their
+    # alpha-window radius doubles in world-p space: noise zeroes at
+    # |coord| >= 0.5 <=> |p| >= 1.0; xor at 0.7 <=> 1.4; the continuous trig
+    # field windows |p| directly at 0.9
+    radius = {"noise": 1.0, "xor": 1.4, "trig": 0.9}[field]
+    if not sphere_clip:
+        radius = 1e9  # disable the jump (step-capped parity testing)
+    # quantized fields sample the voxel CENTER of the position's voxel, which
+    # can lie up to half a voxel diagonal closer to the origin
+    pad = (math.sqrt(3.0) / dims) if quantize else 0.0
+    r2 = (radius + pad) ** 2
+    # |e + t d|^2 = R^2  (d normalized)
+    bq = ex * dx + ey * dy + ez * dz
+    cq = ex * ex + ey * ey + ez * ez - r2
+    disc = bq * bq - cq
+    sph_hit = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    ts0 = -bq - sq
+    ts1 = -bq + sq
+    # snap entry forward along the ray's own lattice t0 + j*dt
+    j0 = jnp.ceil(jnp.maximum(ts0 - t0, 0.0) / dt)
+    t_begin = t0 + j0 * dt
+    t_end = jnp.minimum(t1, ts1)
+    t0 = jnp.where(sph_hit, t_begin, t1)  # no sphere hit -> zero steps
+    t1 = jnp.where(sph_hit, t_end, t1)
+
+    ph, pw = round_up(height, tile_h), round_up(width, tile_w)
+
+    def pad(x):
+        return jnp.pad(x, ((0, ph - height), (0, pw - width)))
+
+    # padded rays: t0 == t1 == 0 -> hit False -> lanes stay idle
+    ins = [pad(x) for x in (ex, ey, ez, dx, dy, dz, t0, t1, dt)]
+    sin_t = jnp.sin(time * 1.0).reshape(1)
+
+    grid = (ph // tile_h, pw // tile_w)
+    block = pl.BlockSpec(
+        (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    kernel = partial(
+        _march_kernel,
+        field=field,
+        shading=shading,
+        dims=dims,
+        quantize=quantize,
+        max_steps=max_steps,
+    )
+    out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 4
+    r, g, b, a = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [block] * 9,
+        out_specs=[block] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(sin_t, *ins)
+    img = jnp.stack([r, g, b, a], axis=-1)
+    return img[:height, :width]
