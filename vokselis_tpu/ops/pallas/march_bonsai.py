@@ -63,9 +63,10 @@ MAX_STEPS_BONSAI = int(math.ceil(math.sqrt(3.0) * 256.0)) + 1
 # (v-axis, u-axis) per dominant axis m (world axes 0=x, 1=y, 2=z)
 _AXES = {0: (2, 1), 1: (2, 0), 2: (1, 0)}
 
-WIN_V = 48  # slab-window rows; u window is 128 lanes after the roll
+WIN_V = 64  # default slab-window rows; u window is 128 lanes after the roll
 TILE = 32  # pixel tile edge; one (8,128) block = one 32x32 tile
 CHUNK = 8  # march slabs per DMA chunk (chunk holds CHUNK+1 slabs)
+OCC_V = 32  # v-rows per occupancy-table block (empty-space skip)
 
 
 def _vertigo_soa(t):
@@ -78,16 +79,18 @@ def _vertigo_soa(t):
 
 def _march_kernel(
     cbase_ref,  # scalar-prefetch: (grid,) int32 chunk-base index per grid step
+    occ_ref,  # scalar-prefetch: flat (6*n_chunks * D/OCC_V,) int32 occupancy
     vol_hbm,  # (6*n_chunks, CHUNK+1, D, D) uint8 — flipped+stacked chunks
     u0r, v0r, dur, dvr, fmr, k0r, nr, maskr,  # ray blocks (8, 128)
     out_r, out_g, out_b, out_a, out_ovf,
     buf_a, buf_b,  # scratch (CHUNK+1, D, D) uint8
-    win0, win1,  # scratch (win_v, 128) f32
+    win2d,  # scratch ((CHUNK+1)*win_v, 128) f32 — flattened chunk windows
     sem_a, sem_b,
     *,
     dims: int,
+    win_rows: int,
 ):
-    win_v = min(WIN_V, dims)
+    win_v = min(win_rows, dims)
     win_u = min(128, dims)
     cbase = cbase_ref[pl.program_id(0)]
     u0, v0 = u0r[:], v0r[:]
@@ -125,97 +128,136 @@ def _march_kernel(
     zero = jnp.zeros_like(u0)
     fdims = float(dims)
 
-    def slab_step(buf, s_in, c, state):
-        """One march slab k = 8c - 1 + s_in using buf[s_in], buf[s_in+1]."""
-        r, g, b, a, ovf = state
-        k = CHUNK * c - 1 + s_in
-        j = (k - k0).astype(jnp.float32)
-        active = mask & (j >= 0) & (j < nsteps) & (a < 0.95)
-        anyact = jnp.any(active)
-
-        def compute(r, g, b, a, ovf):
-            u = u0 + j * du
-            v = v0 + j * dv
-            fu0 = jnp.floor(u)
-            fv0 = jnp.floor(v)
-            iu0 = jnp.clip(fu0, 0.0, fdims - 1.0)
-            iu1 = jnp.clip(fu0 + 1.0, 0.0, fdims - 1.0)
-            iv0 = jnp.clip(fv0, 0.0, fdims - 1.0)
-            iv1 = jnp.clip(fv0 + 1.0, 0.0, fdims - 1.0)
-            fu = u - fu0
-            fv = v - fv0
-
-            u_base = jnp.min(jnp.where(active, iu0, fdims)).astype(jnp.int32)
-            v_base = jnp.min(jnp.where(active, iv0, fdims)).astype(jnp.int32)
-            u_max = jnp.max(jnp.where(active, iu1, 0.0)).astype(jnp.int32)
-            v_max = jnp.max(jnp.where(active, iv1, 0.0)).astype(jnp.int32)
-            v_base = (v_base // 8) * 8  # int8 sublane alignment
-            step_ovf = ((u_max - u_base) > win_u - 1) | ((v_max - v_base) > win_v - 1)
-            ovf2 = ovf | (step_ovf & anyact)
-            u_base = jnp.clip(u_base, 0, dims - win_u)
-            v_base = pl.multiple_of(jnp.clip(v_base, 0, dims - win_v), 8)
-            n_rows = jnp.clip(v_max - v_base + 1, 0, win_v)
-
-            ub_f = u_base.astype(jnp.float32)
-            vb_f = v_base.astype(jnp.float32)
-            iu0l = jnp.clip((iu0 - ub_f).astype(jnp.int32), 0, win_u - 1)
-            iu1l = jnp.clip((iu1 - ub_f).astype(jnp.int32), 0, win_u - 1)
-            iv0l = (iv0 - vb_f).astype(jnp.int32)
-            iv1l = (iv1 - vb_f).astype(jnp.int32)
-
-            for src, win in ((s_in, win0), (s_in + 1, win1)):
-                raw = buf[src, pl.ds(v_base, win_v), :]
-                w = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-                rolled = pltpu.roll(w, -u_base, 1)[:, :win_u]
-                if win_u < 128:
-                    # pad lanes to 128 so row broadcasts match the ray block
-                    rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
-                win[:] = rolled
-
-            def row_scan(cc, taps):
-                a00, a01, a10, a11 = taps
-                rowa = jnp.broadcast_to(win0[pl.ds(cc, 1), :], u0.shape)
-                rowb = jnp.broadcast_to(win1[pl.ds(cc, 1), :], u0.shape)
-                ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
-                ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
-                gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
-                gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
-                t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused at tap level
-                t1 = ga1 + (gb1 - ga1) * fm
-                m0 = iv0l == cc
-                m1 = iv1l == cc
-                return (
-                    jnp.where(m0, t0, a00),
-                    jnp.where(m0, t1, a01),
-                    jnp.where(m1, t0, a10),
-                    jnp.where(m1, t1, a11),
-                )
-
-            t00, t01, t10, t11 = lax.fori_loop(
-                0, n_rows, row_scan, (zero, zero, zero, zero)
-            )
-            c0 = t00 + (t01 - t00) * fu
-            c1 = t10 + (t11 - t10) * fu
-            samp = c0 + (c1 - c0) * fv
-
-            tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
-            cr, cg, cb = _vertigo_soa(tv)
-            one_m_a = 1.0 - a
-            w = one_m_a * tv
-            return (
-                jnp.where(active, r + w * cr, r),
-                jnp.where(active, g + w * cg, g),
-                jnp.where(active, b + w * cb, b),
-                jnp.where(active, a + one_m_a * tv, a),
-                ovf2,
-            )
-
-        return lax.cond(anyact, compute, lambda *s: s, r, g, b, a, ovf)
-
     def process_chunk(buf, c, state):
-        for s_in in range(CHUNK):
-            state = slab_step(buf, s_in, c, state)
-        return state
+        """March the 8 slabs k = 8c-1 .. 8c+6 from one resident chunk.
+
+        Gating is per-chunk: one ray-activity test, one precomputed
+        occupancy-table test (empty space contributes exactly zero through
+        the transfer function: smoothstep(0.10, 1.2, min(0.9, 0)) == 0),
+        and one set of window bounds from the chunk's endpoint steps
+        (u, v are linear in j). Slabs run as a dynamic fori over a
+        flattened per-chunk window scratch to keep code size (and Mosaic
+        compile time) down.
+        """
+        r, g, b, a, ovf = state
+        k_lo = CHUNK * c - 1
+        k_hi = k_lo + CHUNK - 1
+        active_c = mask & (a < 0.95) & (k0 <= k_hi) & (k_last_per_ray >= k_lo)
+        anyact = jnp.any(active_c)
+
+        def do_chunk(r, g, b, a, ovf):
+            # window bounds over the chunk from endpoint steps
+            j_lo = jnp.clip((k_lo - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
+            j_hi = jnp.clip((k_hi - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
+            u_a, u_b = u0 + j_lo * du, u0 + j_hi * du
+            v_a, v_b = v0 + j_lo * dv, v0 + j_hi * dv
+            u_lo = jnp.clip(jnp.floor(jnp.minimum(u_a, u_b)), 0.0, fdims - 1.0)
+            u_hi = jnp.clip(jnp.floor(jnp.maximum(u_a, u_b)) + 1.0, 0.0, fdims - 1.0)
+            v_lo = jnp.clip(jnp.floor(jnp.minimum(v_a, v_b)), 0.0, fdims - 1.0)
+            v_hi = jnp.clip(jnp.floor(jnp.maximum(v_a, v_b)) + 1.0, 0.0, fdims - 1.0)
+            u_base = jnp.min(jnp.where(active_c, u_lo, fdims)).astype(jnp.int32)
+            v_base = jnp.min(jnp.where(active_c, v_lo, fdims)).astype(jnp.int32)
+            u_max = jnp.max(jnp.where(active_c, u_hi, 0.0)).astype(jnp.int32)
+            v_max = jnp.max(jnp.where(active_c, v_hi, 0.0)).astype(jnp.int32)
+
+            # precomputed occupancy: any density in this chunk's v-band?
+            nvb = dims // OCC_V
+            cc_tab = (cbase + jnp.clip(c, 0, n_chunks - 1)) * nvb
+            vb0 = v_base // OCC_V
+            vb_hi = v_max // OCC_V
+            occ = jnp.int32(0)
+            for q in range(win_v // OCC_V + 1):
+                vb = jnp.clip(vb0 + q, 0, nvb - 1)
+                occ = occ | jnp.where(vb <= vb_hi, occ_ref[cc_tab + vb], 0)
+
+            def occupied(r, g, b, a, ovf):
+                v_b2 = (v_base // 8) * 8  # int8 sublane alignment
+                step_ovf = ((u_max - u_base) > win_u - 1) | (
+                    (v_max - v_b2) > win_v - 1
+                )
+                ovf2 = ovf | step_ovf
+                u_b2 = jnp.clip(u_base, 0, dims - win_u)
+                v_b2 = pl.multiple_of(jnp.clip(v_b2, 0, dims - win_v), 8)
+                n_rows = jnp.clip(v_max - v_b2 + 1, 0, win_v)
+                ub_f = u_b2.astype(jnp.float32)
+                vb_f = v_b2.astype(jnp.float32)
+
+                # dequantize + roll all CHUNK+1 slab windows once
+                for src in range(CHUNK + 1):
+                    raw = buf[src, pl.ds(v_b2, win_v), :]
+                    w = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+                    rolled = pltpu.roll(w, -u_b2, 1)[:, :win_u]
+                    if win_u < 128:
+                        rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
+                    win2d[pl.ds(src * win_v, win_v), :] = rolled
+
+                def slab(s_in, st):
+                    r, g, b, a = st
+                    k = k_lo + s_in
+                    j = (k - k0).astype(jnp.float32)
+                    active = mask & (j >= 0) & (j < nsteps) & (a < 0.95)
+                    u = u0 + j * du
+                    v = v0 + j * dv
+                    fu0 = jnp.floor(u)
+                    fv0 = jnp.floor(v)
+                    iu0 = jnp.clip(fu0, 0.0, fdims - 1.0)
+                    iu1 = jnp.clip(fu0 + 1.0, 0.0, fdims - 1.0)
+                    iv0 = jnp.clip(fv0, 0.0, fdims - 1.0)
+                    iv1 = jnp.clip(fv0 + 1.0, 0.0, fdims - 1.0)
+                    fu = u - fu0
+                    fv = v - fv0
+                    iu0l = jnp.clip((iu0 - ub_f).astype(jnp.int32), 0, win_u - 1)
+                    iu1l = jnp.clip((iu1 - ub_f).astype(jnp.int32), 0, win_u - 1)
+                    iv0l = (iv0 - vb_f).astype(jnp.int32)
+                    iv1l = (iv1 - vb_f).astype(jnp.int32)
+                    base_a = s_in * win_v
+                    base_b = base_a + win_v
+
+                    def row_scan(cc, taps):
+                        a00, a01, a10, a11 = taps
+                        rowa = jnp.broadcast_to(
+                            win2d[pl.ds(base_a + cc, 1), :], u0.shape)
+                        rowb = jnp.broadcast_to(
+                            win2d[pl.ds(base_b + cc, 1), :], u0.shape)
+                        ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
+                        ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
+                        gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
+                        gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
+                        t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused per tap
+                        t1 = ga1 + (gb1 - ga1) * fm
+                        m0 = iv0l == cc
+                        m1 = iv1l == cc
+                        return (
+                            jnp.where(m0, t0, a00),
+                            jnp.where(m0, t1, a01),
+                            jnp.where(m1, t0, a10),
+                            jnp.where(m1, t1, a11),
+                        )
+
+                    t00, t01, t10, t11 = lax.fori_loop(
+                        0, n_rows, row_scan, (zero, zero, zero, zero)
+                    )
+                    c0 = t00 + (t01 - t00) * fu
+                    c1 = t10 + (t11 - t10) * fu
+                    samp = c0 + (c1 - c0) * fv
+
+                    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
+                    cr, cg, cb = _vertigo_soa(tv)
+                    one_m_a = 1.0 - a
+                    w = one_m_a * tv
+                    return (
+                        jnp.where(active, r + w * cr, r),
+                        jnp.where(active, g + w * cg, g),
+                        jnp.where(active, b + w * cb, b),
+                        jnp.where(active, a + one_m_a * tv, a),
+                    )
+
+                r, g, b, a = lax.fori_loop(0, CHUNK, slab, (r, g, b, a))
+                return r, g, b, a, ovf2
+
+            return lax.cond(occ > 0, occupied, lambda *s: s, r, g, b, a, ovf)
+
+        return lax.cond(anyact, do_chunk, lambda *s: s, r, g, b, a, ovf)
 
     def alive(c_next, a):
         # any ray not yet opaque whose k-range the sweep hasn't passed
@@ -317,7 +359,15 @@ def prepare_volume(vol_u8):
         for s in (1, -1):
             lay = base[m] if s > 0 else base[m][::-1]
             stacks.append(lay[idx])
-    return d, jnp.asarray(np.stack(stacks).reshape(-1, CHUNK + 1, d, d))
+    chunks = np.stack(stacks).reshape(-1, CHUNK + 1, d, d)
+    # occupancy: any nonzero voxel per (chunk, OCC_V-row v-band)
+    occ = (
+        chunks.reshape(chunks.shape[0], CHUNK + 1, d // OCC_V, OCC_V, d)
+        .any(axis=(1, 3, 4))
+        .astype(np.int32)
+        .reshape(-1)  # flat: [chunk * (D/OCC_V) + vband]
+    )
+    return d, (jnp.asarray(chunks), jnp.asarray(occ))
 
 
 def _pack_tiles(x, ph, pw):
@@ -332,15 +382,19 @@ def _unpack_tiles(x, ph, pw):
     return t.transpose(0, 2, 1, 3).reshape(ph, pw)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "dims", "max_steps", "srgb"))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "dims", "max_steps", "srgb", "win_rows"),
+)
 def _render_bonsai_pallas(
-    vol_chunks,  # (6*n_chunks, CHUNK+1, D, D) uint8
+    vol_pack,  # (chunks (6*n_chunks, CHUNK+1, D, D) uint8, occ flat int32)
     camera_uniform,
     width: int,
     height: int,
     dims: int,
     max_steps: int,
     srgb: bool,
+    win_rows: int = WIN_V,
 ):
     eye, (dx, dy, dz) = geometry.rays_fragment_soa(camera_uniform, width, height)
     ex = jnp.broadcast_to(eye[0], dx.shape)
@@ -415,27 +469,27 @@ def _render_bonsai_pallas(
            ("u0", "v0", "du", "dv", "fm", "k0", "n", "mask")]
     cbase = jnp.concatenate(cbases)
 
-    # with scalar prefetch, index maps receive the prefetch ref as extra arg
-    block = pl.BlockSpec((8, 128), lambda i, _cb: (i, 0), memory_space=pltpu.VMEM)
+    vol_chunks, occ = vol_pack
+    # with scalar prefetch, index maps receive the prefetch refs as extra args
+    block = pl.BlockSpec((8, 128), lambda i, _cb, _occ: (i, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 8,
         out_specs=[block] * 5,
         scratch_shapes=[
             pltpu.VMEM((CHUNK + 1, dims, dims), jnp.uint8),
             pltpu.VMEM((CHUNK + 1, dims, dims), jnp.uint8),
-            pltpu.VMEM((min(WIN_V, dims), 128), jnp.float32),
-            pltpu.VMEM((min(WIN_V, dims), 128), jnp.float32),
+            pltpu.VMEM(((CHUNK + 1) * min(win_rows, dims), 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     outs = pl.pallas_call(
-        partial(_march_kernel, dims=dims),
+        partial(_march_kernel, dims=dims, win_rows=win_rows),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((6 * n_tiles * 8, 128), jnp.float32)] * 5,
-    )(cbase, vol_chunks, *ins)
+    )(cbase, occ, vol_chunks, *ins)
 
     # merge the 6 class contributions (each ray belongs to exactly one)
     planes = [o.reshape(6, n_tiles * 8, 128).sum(0) for o in outs[:4]]
@@ -466,10 +520,11 @@ class BonsaiRenderer:
         height: int = 720,
         max_steps: int = MAX_STEPS_BONSAI,
         srgb: bool = True,
+        win_rows: int = WIN_V,
     ):
         img, ovf = _render_bonsai_pallas(
             self.layouts, camera_uniform, width, height,
-            self.dims, max_steps, srgb,
+            self.dims, max_steps, srgb, win_rows,
         )
         self.last_overflow = ovf
         return img
