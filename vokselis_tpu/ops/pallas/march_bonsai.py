@@ -79,6 +79,7 @@ def _vertigo_soa(t):
 
 def _march_kernel(
     cbase_ref,  # scalar-prefetch: (grid,) int32 chunk-base index per grid step
+    crange_ref,  # scalar-prefetch: (2*grid,) int32 occupied chunk lo/hi per step
     occ_ref,  # scalar-prefetch: flat (6*n_chunks * D/OCC_V,) int32 occupancy
     vol_hbm,  # (6*n_chunks, CHUNK+1, D, D) uint8 — flipped+stacked chunks
     u0r, v0r, dur, dvr, fmr, k0r, nr, maskr,  # ray blocks (8, 128)
@@ -106,16 +107,19 @@ def _march_kernel(
     k_last_per_ray = k0 + nsteps - 1
     k_first = jnp.clip(jnp.min(jnp.where(mask, k0, big)), -1, dims - 1)
     k_last = jnp.clip(jnp.max(jnp.where(mask, k_last_per_ray, -big)), -1, dims - 1)
-    # chunk c covers k in [8c-1, 8c+6]
-    c_first = jnp.clip((k_first + 1) // CHUNK, 0, n_chunks - 1)
-    c_last = jnp.clip((k_last + 1) // CHUNK, 0, n_chunks - 1)
+    # chunk c covers k in [8c-1, 8c+6]; clamp the sweep to the volume's
+    # occupied slab range for this class (slabs outside contribute exactly
+    # zero through the transfer function)
+    gi = pl.program_id(0)
+    c_first = jnp.clip((k_first + 1) // CHUNK, crange_ref[2 * gi], n_chunks - 1)
+    c_last = jnp.clip((k_last + 1) // CHUNK, 0, crange_ref[2 * gi + 1])
     n_c = c_last - c_first + 1
 
     def dma_chunk(buf, sem, c):
         cc = jnp.clip(c, 0, n_chunks - 1)
         return pltpu.make_async_copy(vol_hbm.at[cbase + cc], buf, sem)
 
-    @pl.when(any_ray)
+    @pl.when(any_ray & (n_c > 0))
     def _prologue():
         dma_chunk(buf_a, sem_a, c_first).start()
 
@@ -213,29 +217,35 @@ def _march_kernel(
                     base_a = s_in * win_v
                     base_b = base_a + win_v
 
-                    def row_scan(cc, taps):
-                        a00, a01, a10, a11 = taps
-                        rowa = jnp.broadcast_to(
-                            win2d[pl.ds(base_a + cc, 1), :], u0.shape)
-                        rowb = jnp.broadcast_to(
-                            win2d[pl.ds(base_b + cc, 1), :], u0.shape)
-                        ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
-                        ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
-                        gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
-                        gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
-                        t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused per tap
-                        t1 = ga1 + (gb1 - ga1) * fm
-                        m0 = iv0l == cc
-                        m1 = iv1l == cc
-                        return (
-                            jnp.where(m0, t0, a00),
-                            jnp.where(m0, t1, a01),
-                            jnp.where(m1, t0, a10),
-                            jnp.where(m1, t1, a11),
-                        )
+                    def row_scan(ci, taps):
+                        # unrolled x4: dynamic-loop iterations carry heavy
+                        # fixed overhead on this target; over-scanning is
+                        # safe (rows past the span never match a tap index)
+                        for q in range(4):
+                            cc = ci * 4 + q
+                            a00, a01, a10, a11 = taps
+                            rowa = jnp.broadcast_to(
+                                win2d[pl.ds(base_a + cc, 1), :], u0.shape)
+                            rowb = jnp.broadcast_to(
+                                win2d[pl.ds(base_b + cc, 1), :], u0.shape)
+                            ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
+                            ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
+                            gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
+                            gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
+                            t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused per tap
+                            t1 = ga1 + (gb1 - ga1) * fm
+                            m0 = iv0l == cc
+                            m1 = iv1l == cc
+                            taps = (
+                                jnp.where(m0, t0, a00),
+                                jnp.where(m0, t1, a01),
+                                jnp.where(m1, t0, a10),
+                                jnp.where(m1, t1, a11),
+                            )
+                        return taps
 
                     t00, t01, t10, t11 = lax.fori_loop(
-                        0, n_rows, row_scan, (zero, zero, zero, zero)
+                        0, (n_rows + 3) // 4, row_scan, (zero, zero, zero, zero)
                     )
                     c0 = t00 + (t01 - t00) * fu
                     c1 = t10 + (t11 - t10) * fu
@@ -322,7 +332,7 @@ def _march_kernel(
     def run(_):
         return lax.while_loop(cond, body, init)
 
-    _, _, r, g, b, a, ovf = lax.cond(any_ray, run, lambda _: init, 0)
+    _, _, r, g, b, a, ovf = lax.cond(any_ray & (n_c > 0), run, lambda _: init, 0)
 
     out_r[:] = jnp.where(mask, r, 0.0)
     out_g[:] = jnp.where(mask, g, 0.0)
@@ -361,13 +371,22 @@ def prepare_volume(vol_u8):
             stacks.append(lay[idx])
     chunks = np.stack(stacks).reshape(-1, CHUNK + 1, d, d)
     # occupancy: any nonzero voxel per (chunk, OCC_V-row v-band)
-    occ = (
+    occ2d = (
         chunks.reshape(chunks.shape[0], CHUNK + 1, d // OCC_V, OCC_V, d)
         .any(axis=(1, 3, 4))
-        .astype(np.int32)
-        .reshape(-1)  # flat: [chunk * (D/OCC_V) + vband]
     )
-    return d, (jnp.asarray(chunks), jnp.asarray(occ))
+    occ = occ2d.astype(np.int32).reshape(-1)  # flat: [chunk*(D/OCC_V)+vband]
+    # per-class occupied chunk range [lo, hi] (inclusive)
+    n_chunks = chunks.shape[0] // 6
+    nonempty = occ2d.any(axis=1).reshape(6, n_chunks)
+    cranges = np.zeros((6, 2), np.int32)
+    for cls in range(6):
+        idxs = np.nonzero(nonempty[cls])[0]
+        if len(idxs):
+            cranges[cls] = (idxs[0], idxs[-1])
+        else:
+            cranges[cls] = (1, 0)  # empty range
+    return d, (jnp.asarray(chunks), jnp.asarray(occ), jnp.asarray(cranges))
 
 
 def _pack_tiles(x, ph, pw):
@@ -387,7 +406,7 @@ def _unpack_tiles(x, ph, pw):
     static_argnames=("width", "height", "dims", "max_steps", "srgb", "win_rows"),
 )
 def _render_bonsai_pallas(
-    vol_pack,  # (chunks (6*n_chunks, CHUNK+1, D, D) uint8, occ flat int32)
+    vol_pack,  # (chunks u8, occ flat int32, per-class chunk ranges (6,2))
     camera_uniform,
     width: int,
     height: int,
@@ -469,27 +488,33 @@ def _render_bonsai_pallas(
            ("u0", "v0", "du", "dv", "fm", "k0", "n", "mask")]
     cbase = jnp.concatenate(cbases)
 
-    vol_chunks, occ = vol_pack
+    vol_chunks, occ, cranges = vol_pack
     # with scalar prefetch, index maps receive the prefetch refs as extra args
-    block = pl.BlockSpec((8, 128), lambda i, _cb, _occ: (i, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec(
+        (8, 128), lambda i, _cb, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 8,
         out_specs=[block] * 5,
         scratch_shapes=[
             pltpu.VMEM((CHUNK + 1, dims, dims), jnp.uint8),
             pltpu.VMEM((CHUNK + 1, dims, dims), jnp.uint8),
-            pltpu.VMEM(((CHUNK + 1) * min(win_rows, dims), 128), jnp.float32),
+            # +8 rows: the x4-unrolled row scan may over-read past the
+            # last slab section (values never match a tap index)
+            pltpu.VMEM(((CHUNK + 1) * min(win_rows, dims) + 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    outs = pl.pallas_call(
+    outs_call = pl.pallas_call(
         partial(_march_kernel, dims=dims, win_rows=win_rows),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((6 * n_tiles * 8, 128), jnp.float32)] * 5,
-    )(cbase, occ, vol_chunks, *ins)
+    )
+    crange_grid = jnp.repeat(cranges, n_tiles, axis=0).reshape(-1)
+    outs = outs_call(cbase, crange_grid, occ, vol_chunks, *ins)
 
     # merge the 6 class contributions (each ray belongs to exactly one)
     planes = [o.reshape(6, n_tiles * 8, 128).sum(0) for o in outs[:4]]
