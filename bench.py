@@ -111,6 +111,75 @@ def bench_field(width=512, height=512, field="noise", shading="xor"):
     return width * height / sec / 1e6, sec
 
 
+def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
+    """Config 4: bonsai via the tiled compute-style path, orbiting camera."""
+    import jax
+    import jax.numpy as jnp
+
+    from vokselis_tpu.core.camera import CameraUniform
+    from vokselis_tpu.parallel.sharding import orbit_camera_batch
+    from vokselis_tpu.ops.pallas.march_bonsai import (
+        MAX_STEPS_BONSAI, _render_bonsai_pallas, prepare_volume,
+    )
+    from vokselis_tpu.volume.io import get_bonsai
+
+    dims, pack = prepare_volume(get_bonsai())
+    cams = orbit_camera_batch(n_poses, aspect=width / height)
+
+    def build(n):
+        def frames(vp, pv, ip):
+            def body(i, acc):
+                k = i % n_poses
+                u = CameraUniform(vp[k] + acc * 1e-20, pv[k], ip[k])
+                img, _ = _render_bonsai_pallas(
+                    pack, u, width, height, dims, MAX_STEPS_BONSAI, True, 64)
+                return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        jf = jax.jit(frames)
+        return lambda: jf(cams.view_position, cams.proj_view, cams.inv_proj)
+
+    sec = slope_time(build)
+    return width * height / sec / 1e6, sec
+
+
+def bench_views_512(n_views=64, view_res=512):
+    """Config 5: 512^3 volume, batched multi-view rendering (on one chip the
+    views run sequentially in-device; multi-chip shards them over a 'views'
+    mesh via vokselis_tpu.parallel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vokselis_tpu.core.camera import CameraUniform
+    from vokselis_tpu.parallel.sharding import orbit_camera_batch
+    from vokselis_tpu.ops.pallas.march_bonsai import (
+        MAX_STEPS_BONSAI, _render_bonsai_pallas, prepare_volume,
+    )
+    from vokselis_tpu.volume.io import synthetic_bonsai
+
+    _log("preparing 512^3 volume + slab layouts...")
+    dims, pack = prepare_volume(synthetic_bonsai(512))
+    cams = orbit_camera_batch(n_views)
+    max_steps = int(3.0 ** 0.5 * 512) + 2
+
+    def build(n):
+        def frames(vp, pv, ip):
+            def body(i, acc):
+                k = i % n_views
+                u = CameraUniform(vp[k] + acc * 1e-20, pv[k], ip[k])
+                img, _ = _render_bonsai_pallas(
+                    pack, u, view_res, view_res, dims, max_steps, True, 96)
+                return acc + img[0, 0, 0] + img[view_res // 2, view_res // 2, 0]
+            return jax.lax.fori_loop(0, n * n_views, body, jnp.float32(0.0))
+
+        jf = jax.jit(frames)
+        return lambda: jf(cams.view_position, cams.proj_view, cams.inv_proj)
+
+    sec_batch = slope_time(build, n_hi=2)  # sec per 64-view batch
+    rays = n_views * view_res * view_res
+    return rays / sec_batch / 1e6, sec_batch
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run every config")
@@ -137,9 +206,12 @@ def main():
             m, s = bench_field(**kw)
             results[name] = (m, s)
             _log(f"{name}: {s*1000:.1f} ms/frame = {m:.1f} Mrays/s")
-        m, s = bench_bonsai(width=1920, height=1080)
-        results["bonsai_1080p"] = (m, s)
-        _log(f"config 4 bonsai @1080p: {s*1000:.1f} ms/frame = {m:.1f} Mrays/s")
+        m, s = bench_bonsai_orbit()
+        results["bonsai_1080p_orbit"] = (m, s)
+        _log(f"config 4 bonsai orbit @1080p: {s*1000:.1f} ms/frame = {m:.1f} Mrays/s")
+        m, s = bench_views_512()
+        results["views512"] = (m, s)
+        _log(f"config 5 512^3 64 views @512^2: {s*1000:.0f} ms/batch = {m:.1f} Mrays/s")
 
     mrays = results["bonsai_1024"][0]
     print(json.dumps({

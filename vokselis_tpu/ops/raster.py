@@ -51,3 +51,39 @@ def rasterize_triangle(proj_view, v0, v1, v2, color, width: int, height: int,
     color = jnp.asarray(color, jnp.float32)
     background = jnp.asarray(background, jnp.float32)
     return jnp.where(inside[..., None], color, background)
+
+
+# --- unreferenced reference leftovers, kept for inventory parity (K6) -----
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def cameraless_triangle(time, width: int, height: int):
+    """shaders/shader.wgsl:19-36 — clip-space triangle, no camera; FS color
+    (fract(time), 0, 1, 1)-style. Not used by any demo (like the original)."""
+    ident = jnp.eye(4, dtype=jnp.float32)
+    t = time - jnp.floor(time)
+    color = jnp.stack([t, jnp.zeros_like(t), jnp.ones_like(t), jnp.ones_like(t)])
+    return rasterize_triangle(
+        ident,
+        jnp.asarray([-0.5, -0.5, 0.0]), jnp.asarray([0.5, -0.5, 0.0]),
+        jnp.asarray([0.0, 0.5, 0.0]), color, width, height,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def magenta_mini_triangle(width: int, height: int):
+    """shaders/shader_sec.wgsl:6-22 — small magenta triangle. Unused."""
+    ident = jnp.eye(4, dtype=jnp.float32)
+    return rasterize_triangle(
+        ident,
+        jnp.asarray([-0.25, -0.25, 0.0]), jnp.asarray([0.25, -0.25, 0.0]),
+        jnp.asarray([0.0, 0.25, 0.0]),
+        jnp.asarray([1.0, 0.0, 1.0, 1.0]), width, height,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def fullscreen_quad(width: int, height: int, color=(1.0, 1.0, 1.0, 1.0)):
+    """shaders/quad.wgsl:6-14 — fullscreen white quad. Unused."""
+    return jnp.broadcast_to(
+        jnp.asarray(color, jnp.float32), (height, width, 4)
+    )
