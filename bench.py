@@ -58,35 +58,39 @@ def bench_bonsai(width=1024, height=1024, use_pallas=None):
             prepare_volume,
         )
 
-        dims, layouts = prepare_volume(vol)
+        dims, pack = prepare_volume(vol)
 
-        def render(u, w, h):
-            return _render_bonsai_pallas(layouts, u, w, h, dims,
+        # IMPORTANT: pass the volume as jit ARGUMENTS — closing over it bakes
+        # it into the HLO as constants, which this environment ships over an
+        # HTTP remote-compile hop (413 for 512^3; slow for 256^3)
+        def render(pk, u, w, h):
+            return _render_bonsai_pallas(pk, u, w, h, dims,
                                          MAX_STEPS_BONSAI, True)[0]
     else:
         from vokselis_tpu.ops.reference import render_bonsai
 
-        volj = jnp.asarray(vol)
+        dims, pack = 256, jnp.asarray(vol)
 
-        def render(u, w, h):
-            return render_bonsai(volj, u, width=w, height=h)
+        def render(pk, u, w, h):
+            return render_bonsai(pk, u, width=w, height=h)
 
     def build(n):
-        def frames(vp, pv, ip):
+        def frames(pk, vp, pv, ip):
             def body(i, acc):
                 u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                img = render(u, width, height)
+                img = render(pk, u, width, height)
                 return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         jf = jax.jit(frames)
-        return lambda: jf(u0.view_position, u0.proj_view, u0.inv_proj)
+        return lambda: jf(pack, u0.view_position, u0.proj_view, u0.inv_proj)
 
     sec = slope_time(build)
     return width * height / sec / 1e6, sec
 
 
-def bench_field(width=512, height=512, field="noise", shading="xor"):
+def bench_field(width=512, height=512, field="noise", shading="xor",
+                quantize=True):
     import jax
     import jax.numpy as jnp
 
@@ -100,7 +104,8 @@ def bench_field(width=512, height=512, field="noise", shading="xor"):
             def body(i, acc):
                 u = CameraUniform(vp + acc * 1e-20, pv, ip)
                 img = render_field_pallas(u, 0.0, width, height,
-                                          field=field, shading=shading)
+                                          field=field, shading=shading,
+                                          quantize=quantize)
                 return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -127,17 +132,18 @@ def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
     cams = orbit_camera_batch(n_poses, aspect=width / height)
 
     def build(n):
-        def frames(vp, pv, ip):
+        def frames(pk, vp, pv, ip):
             def body(i, acc):
                 k = i % n_poses
                 u = CameraUniform(vp[k] + acc * 1e-20, pv[k], ip[k])
                 img, _ = _render_bonsai_pallas(
-                    pack, u, width, height, dims, MAX_STEPS_BONSAI, True, 64)
+                    pk, u, width, height, dims, MAX_STEPS_BONSAI, True, 64)
                 return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         jf = jax.jit(frames)
-        return lambda: jf(cams.view_position, cams.proj_view, cams.inv_proj)
+        return lambda: jf(pack, cams.view_position, cams.proj_view,
+                          cams.inv_proj)
 
     sec = slope_time(build)
     return width * height / sec / 1e6, sec
@@ -163,17 +169,18 @@ def bench_views_512(n_views=64, view_res=512):
     max_steps = int(3.0 ** 0.5 * 512) + 2
 
     def build(n):
-        def frames(vp, pv, ip):
+        def frames(pk, vp, pv, ip):
             def body(i, acc):
                 k = i % n_views
                 u = CameraUniform(vp[k] + acc * 1e-20, pv[k], ip[k])
                 img, _ = _render_bonsai_pallas(
-                    pack, u, view_res, view_res, dims, max_steps, True, 96)
+                    pk, u, view_res, view_res, dims, max_steps, True, 96)
                 return acc + img[0, 0, 0] + img[view_res // 2, view_res // 2, 0]
             return jax.lax.fori_loop(0, n * n_views, body, jnp.float32(0.0))
 
         jf = jax.jit(frames)
-        return lambda: jf(cams.view_position, cams.proj_view, cams.inv_proj)
+        return lambda: jf(pack, cams.view_position, cams.proj_view,
+                          cams.inv_proj)
 
     sec_batch = slope_time(build, n_hi=2)  # sec per 64-view batch
     rays = n_views * view_res * view_res
@@ -200,7 +207,7 @@ def main():
     if args.all:
         for name, kw in (
             ("trig_512", dict(width=512, height=512, field="trig",
-                              shading="emission")),
+                              shading="emission", quantize=False)),
             ("xor_512", dict(width=512, height=512)),
         ):
             m, s = bench_field(**kw)

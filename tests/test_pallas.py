@@ -57,6 +57,25 @@ def test_field_kernel_matches_oracle():
     assert err.mean() < 1e-5
 
 
+def test_field_kernel_trig_emission_matches_oracle():
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.reference import render_field
+    import vokselis_tpu.ops.pallas.march_field as mf
+
+    u = Camera.xor(1.0).uniform()
+    img_p = np.asarray(
+        mf.render_field_pallas(
+            u, 0.0, width=32, height=32, field="trig", shading="emission",
+            quantize=False, tile_h=16, tile_w=128, max_steps=32,
+            sphere_clip=False,
+        )
+    )
+    img_o = np.asarray(render_field(u, 0.0, width=32, height=32, max_steps=32))
+    err = np.abs(img_p - img_o)
+    assert err.max() < 1e-4  # analytic field: no hash amplification
+    assert err.mean() < 1e-6
+
+
 def test_genvol_kernel_matches_jnp():
     from vokselis_tpu.volume import fields
     import vokselis_tpu.ops.pallas.genvol as gv
