@@ -52,24 +52,16 @@ def bench_bonsai(width=1024, height=1024, use_pallas=None):
     vol = get_bonsai()
 
     if use_pallas:
-        from vokselis_tpu.ops.pallas.march_bonsai import (
-            MAX_STEPS_BONSAI,
-            _render_bonsai_pallas,
-            prepare_volume,
-        )
+        from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
 
-        dims, pack = prepare_volume(vol)
-
-        # IMPORTANT: pass the volume as jit ARGUMENTS — closing over it bakes
-        # it into the HLO as constants, which this environment ships over an
-        # HTTP remote-compile hop (413 for 512^3; slow for 256^3)
-        def render(pk, u, w, h):
-            return _render_bonsai_pallas(pk, u, w, h, dims,
-                                         MAX_STEPS_BONSAI, True)[0]
+        # volume travels as jit ARGUMENTS — closing over it bakes it into
+        # the HLO as constants, which this environment ships over an HTTP
+        # remote-compile hop (413 for 512^3; slow for 256^3)
+        render, pack = build_renderer(vol)
     else:
         from vokselis_tpu.ops.reference import render_bonsai
 
-        dims, pack = 256, jnp.asarray(vol)
+        pack = jnp.asarray(vol)
 
         def render(pk, u, w, h):
             return render_bonsai(pk, u, width=w, height=h)
@@ -123,12 +115,10 @@ def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
 
     from vokselis_tpu.core.camera import CameraUniform
     from vokselis_tpu.parallel.sharding import orbit_camera_batch
-    from vokselis_tpu.ops.pallas.march_bonsai import (
-        MAX_STEPS_BONSAI, _render_bonsai_pallas, prepare_volume,
-    )
+    from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
     from vokselis_tpu.volume.io import get_bonsai
 
-    dims, pack = prepare_volume(get_bonsai())
+    render, pack = build_renderer(get_bonsai())
     cams = orbit_camera_batch(n_poses, aspect=width / height)
 
     def build(n):
@@ -136,8 +126,7 @@ def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
             def body(i, acc):
                 k = i % n_poses
                 u = CameraUniform(vp[k] + acc * 1e-20, pv[k], ip[k])
-                img, _ = _render_bonsai_pallas(
-                    pk, u, width, height, dims, MAX_STEPS_BONSAI, True, 64)
+                img = render(pk, u, width, height)
                 return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -158,23 +147,19 @@ def bench_views_512(n_views=64, view_res=512):
 
     from vokselis_tpu.core.camera import CameraUniform
     from vokselis_tpu.parallel.sharding import orbit_camera_batch
-    from vokselis_tpu.ops.pallas.march_bonsai import (
-        MAX_STEPS_BONSAI, _render_bonsai_pallas, prepare_volume,
-    )
+    from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
     from vokselis_tpu.volume.io import synthetic_bonsai
 
     _log("preparing 512^3 volume + slab layouts...")
-    dims, pack = prepare_volume(synthetic_bonsai(512))
+    render, pack = build_renderer(synthetic_bonsai(512), win_rows=96)
     cams = orbit_camera_batch(n_views)
-    max_steps = int(3.0 ** 0.5 * 512) + 2
 
     def build(n):
         def frames(pk, vp, pv, ip):
             def body(i, acc):
                 k = i % n_views
                 u = CameraUniform(vp[k] + acc * 1e-20, pv[k], ip[k])
-                img, _ = _render_bonsai_pallas(
-                    pk, u, view_res, view_res, dims, max_steps, True, 96)
+                img = render(pk, u, view_res, view_res)
                 return acc + img[0, 0, 0] + img[view_res // 2, view_res // 2, 0]
             return jax.lax.fori_loop(0, n * n_views, body, jnp.float32(0.0))
 

@@ -16,30 +16,38 @@ consecutive volume slabs, one per step, in its sign direction. Design:
 1. rays are classified by (dominant axis m, sign s) — 6 classes. Each class
    gets its own slab-major uint8 volume layout in HBM, with negative-sign
    classes PRE-FLIPPED along the slab axis so every class marches in
-   ascending slab order (tap order reverses, so ``k0' = D-2-k0`` and
-   ``fm' = 1-fm``). All 6 layouts are stacked into one array of overlapped
-   9-slab chunks (chunk c holds clamped slabs 8c-1..8c+7), so ONE kernel
-   (and one Mosaic compile) serves every class via a scalar-prefetched
-   chunk-base index — a single leading-index DMA fetches 8 march steps of
-   data (per-slab DMA latency dominated the naive pipeline; ``pl.ds`` DMA
-   slicing does not compile on this toolchain);
-2. 32x32-pixel image tiles are packed into (8,128) blocks (an 8x128 screen
-   strip has a huge slab footprint; a 32x32 tile stays within the window);
-3. per (class, tile) grid step, slabs sweep front-to-back with
-   double-buffered chunk DMAs and tile-level early exit (draining in-flight
-   DMAs) replacing the per-pixel break at opacity 0.95 (:115-117);
-4. the trilinear sample is ``lerp_m(bilinear(slab k), bilinear(slab k+1))``;
-   the bilinear runs as a dynamic-length window-row scan: rows broadcast +
+   ascending slab order (tap order reverses: ``k0' = D-2-k0``, ``fm' =
+   1-fm``). ONE kernel (one Mosaic compile) serves every class via
+   scalar-prefetched indices.
+2. The volume is stored as overlapped 9-slab chunks (chunk c holds clamped
+   slabs 8c-1..8c+7), further split into overlapped 64-stride v-BANDS of
+   ``band_rows`` rows — one scalar-leading-index DMA fetches exactly the
+   rows a tile's window needs for 8 march steps (``pl.ds`` DMA slicing does
+   not compile on this toolchain; banding recovers the savings).
+3. DMA is OCCUPANCY-GATED: a per-(chunk, 16-row v-band, u-band) table built
+   at volume-prep time is consulted through scalar prefetch; chunks whose
+   window region is empty are neither fetched nor processed (empty voxels
+   contribute exactly zero through the transfer function:
+   smoothstep(0.10, 1.2, min(0.9, 0)) == 0). In-flight DMAs are tracked by
+   explicit started-flags carried through the sweep loop and drained on
+   exit — every start has exactly one wait.
+4. 32x32-pixel image tiles are packed into (8,128) blocks; per (class,
+   tile) grid step, slabs sweep front-to-back with double-buffered band
+   DMAs and tile-level early exit replacing the per-pixel break at opacity
+   0.95 (:115-117).
+5. The trilinear sample is ``lerp_m(bilinear(slab k), bilinear(slab k+1))``;
+   the bilinear runs as a x4-unrolled window-row scan: rows broadcast +
    lane-gathered (``take_along_axis`` along 128 lanes is vector-rate;
    sublane gather does not exist on this target), with the u-window located
-   by a dynamic lane roll;
-5. transfer function faithful to the reference: the ``min(0.9, v)``
+   by a dynamic lane roll.
+6. Transfer function faithful to the reference: the ``min(0.9, v)``
    clamp-arg-order quirk, smoothstep(0.10, 1.2), vertigo palette,
    front-to-back under-compositing.
 
 Limitations (flagged via the ``overflow`` output): requires dt_scale == 1
-(the slab-order identity) and per-tile-per-slab footprints <= (WIN_V-8, 127)
-voxels — all BASELINE.json configs fit at >= 512x512 output.
+(the slab-order identity) and per-tile-per-chunk footprints <=
+(win_rows-9, 127) voxels — all BASELINE.json configs fit at >= 512x512
+output with the defaults (win_rows=64; 96 for 512^3 volumes).
 """
 
 from __future__ import annotations
@@ -56,7 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vokselis_tpu.core import geometry
 from vokselis_tpu.core.colors import TAU, linear_to_srgb, smoothstep
-from vokselis_tpu.utils.grid import cdiv
+from vokselis_tpu.utils.grid import cdiv, round_up
 
 MAX_STEPS_BONSAI = int(math.ceil(math.sqrt(3.0) * 256.0)) + 1
 
@@ -66,7 +74,9 @@ _AXES = {0: (2, 1), 1: (2, 0), 2: (1, 0)}
 WIN_V = 64  # default slab-window rows; u window is 128 lanes after the roll
 TILE = 32  # pixel tile edge; one (8,128) block = one 32x32 tile
 CHUNK = 8  # march slabs per DMA chunk (chunk holds CHUNK+1 slabs)
-OCC_V = 16  # v-rows per occupancy-table block (empty-space skip)
+OCC_V = 16  # v-rows per occupancy block
+OCC_U = 128  # u-cols per occupancy block
+BAND_STRIDE = 64  # v-band start granularity
 
 
 def _vertigo_soa(t):
@@ -78,22 +88,25 @@ def _vertigo_soa(t):
 
 
 def _march_kernel(
-    cbase_ref,  # scalar-prefetch: (grid,) int32 chunk-base index per grid step
-    crange_ref,  # scalar-prefetch: (2*grid,) int32 occupied chunk lo/hi per step
-    occ_ref,  # scalar-prefetch: flat (6*n_chunks * D/OCC_V,) int32 occupancy
-    vol_hbm,  # (6*n_chunks, CHUNK+1, D, D) uint8 — flipped+stacked chunks
+    cbase_ref,  # scalar-prefetch: (grid,) int32 band-array base per grid step
+    crange_ref,  # scalar-prefetch: (2*grid,) int32 occupied chunk lo/hi
+    occ_ref,  # scalar-prefetch: flat int32 occupancy [(chunk*nvb+vb)*nub+ub]
+    vol_hbm,  # (6*n_chunks*nb, CHUNK+1, band_rows, D) uint8 banded chunks
     u0r, v0r, dur, dvr, fmr, k0r, nr, maskr,  # ray blocks (8, 128)
     out_r, out_g, out_b, out_a, out_ovf,
-    buf_a, buf_b,  # scratch (CHUNK+1, D, D) uint8
-    win2d,  # scratch ((CHUNK+1)*win_v, 128) f32 — flattened chunk windows
+    buf_a, buf_b,  # scratch (CHUNK+1, band_rows, D) uint8
+    win2d,  # scratch ((CHUNK+1)*win_v + 8, 128) f32 — flattened windows
     sem_a, sem_b,
     *,
     dims: int,
     win_rows: int,
+    band_rows: int,
+    nb: int,
 ):
     win_v = min(win_rows, dims)
     win_u = min(128, dims)
-    cbase = cbase_ref[pl.program_id(0)]
+    gi = pl.program_id(0)
+    cbase = cbase_ref[gi]
     u0, v0 = u0r[:], v0r[:]
     du, dv = dur[:], dvr[:]
     fm = fmr[:]
@@ -107,232 +120,258 @@ def _march_kernel(
     k_last_per_ray = k0 + nsteps - 1
     k_first = jnp.clip(jnp.min(jnp.where(mask, k0, big)), -1, dims - 1)
     k_last = jnp.clip(jnp.max(jnp.where(mask, k_last_per_ray, -big)), -1, dims - 1)
-    # chunk c covers k in [8c-1, 8c+6]; clamp the sweep to the volume's
-    # occupied slab range for this class (slabs outside contribute exactly
-    # zero through the transfer function)
-    gi = pl.program_id(0)
+    # chunk c covers k in [8c-1, 8c+6]; clamped to the class's occupied range
     c_first = jnp.clip((k_first + 1) // CHUNK, crange_ref[2 * gi], n_chunks - 1)
     c_last = jnp.clip((k_last + 1) // CHUNK, 0, crange_ref[2 * gi + 1])
     n_c = c_last - c_first + 1
 
-    def dma_chunk(buf, sem, c):
-        cc = jnp.clip(c, 0, n_chunks - 1)
-        return pltpu.make_async_copy(vol_hbm.at[cbase + cc], buf, sem)
-
-    @pl.when(any_ray & (n_c > 0))
-    def _prologue():
-        dma_chunk(buf_a, sem_a, c_first).start()
-
-        # single-chunk sweeps never wait on B; starting it would leak the
-        # semaphore into the next grid step (deadlock)
-        @pl.when(n_c > 1)
-        def _():
-            dma_chunk(buf_b, sem_b, c_first + 1).start()
-
     zero = jnp.zeros_like(u0)
     fdims = float(dims)
+    nvb = dims // OCC_V
+    nub = max(dims // OCC_U, 1)
 
-    def process_chunk(buf, c, state):
-        """March the 8 slabs k = 8c-1 .. 8c+6 from one resident chunk.
+    def chunk_meta(c, a):
+        """Bounds + occupancy for chunk c given current opacities.
 
-        Gating is per-chunk: one ray-activity test, one precomputed
-        occupancy-table test (empty space contributes exactly zero through
-        the transfer function: smoothstep(0.10, 1.2, min(0.9, 0)) == 0),
-        and one set of window bounds from the chunk's endpoint steps
-        (u, v are linear in j). Slabs run as a dynamic fori over a
-        flattened per-chunk window scratch to keep code size (and Mosaic
-        compile time) down.
+        Pure function of ray params, the occupancy table, and a — computed
+        once at DMA-start time; the resulting (want, band, window) scalars
+        ride the loop carry so starts and waits always agree.
         """
-        r, g, b, a, ovf = state
         k_lo = CHUNK * c - 1
         k_hi = k_lo + CHUNK - 1
+        in_range = (c >= c_first) & (c <= c_last)
         active_c = mask & (a < 0.95) & (k0 <= k_hi) & (k_last_per_ray >= k_lo)
-        anyact = jnp.any(active_c)
+        anyact = jnp.any(active_c) & in_range
 
-        def do_chunk(r, g, b, a, ovf):
-            # window bounds over the chunk from endpoint steps
-            j_lo = jnp.clip((k_lo - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
-            j_hi = jnp.clip((k_hi - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
-            u_a, u_b = u0 + j_lo * du, u0 + j_hi * du
-            v_a, v_b = v0 + j_lo * dv, v0 + j_hi * dv
-            u_lo = jnp.clip(jnp.floor(jnp.minimum(u_a, u_b)), 0.0, fdims - 1.0)
-            u_hi = jnp.clip(jnp.floor(jnp.maximum(u_a, u_b)) + 1.0, 0.0, fdims - 1.0)
-            v_lo = jnp.clip(jnp.floor(jnp.minimum(v_a, v_b)), 0.0, fdims - 1.0)
-            v_hi = jnp.clip(jnp.floor(jnp.maximum(v_a, v_b)) + 1.0, 0.0, fdims - 1.0)
-            u_base = jnp.min(jnp.where(active_c, u_lo, fdims)).astype(jnp.int32)
-            v_base = jnp.min(jnp.where(active_c, v_lo, fdims)).astype(jnp.int32)
-            u_max = jnp.max(jnp.where(active_c, u_hi, 0.0)).astype(jnp.int32)
-            v_max = jnp.max(jnp.where(active_c, v_hi, 0.0)).astype(jnp.int32)
+        j_lo = jnp.clip((k_lo - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
+        j_hi = jnp.clip((k_hi - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
+        u_a, u_b = u0 + j_lo * du, u0 + j_hi * du
+        v_a, v_b = v0 + j_lo * dv, v0 + j_hi * dv
+        u_lo = jnp.clip(jnp.floor(jnp.minimum(u_a, u_b)), 0.0, fdims - 1.0)
+        u_hi = jnp.clip(jnp.floor(jnp.maximum(u_a, u_b)) + 1.0, 0.0, fdims - 1.0)
+        v_lo = jnp.clip(jnp.floor(jnp.minimum(v_a, v_b)), 0.0, fdims - 1.0)
+        v_hi = jnp.clip(jnp.floor(jnp.maximum(v_a, v_b)) + 1.0, 0.0, fdims - 1.0)
+        u_base = jnp.min(jnp.where(active_c, u_lo, fdims)).astype(jnp.int32)
+        v_base = jnp.min(jnp.where(active_c, v_lo, fdims)).astype(jnp.int32)
+        u_max = jnp.max(jnp.where(active_c, u_hi, 0.0)).astype(jnp.int32)
+        v_max = jnp.max(jnp.where(active_c, v_hi, 0.0)).astype(jnp.int32)
 
-            # precomputed occupancy: any density in this chunk's v-band?
-            nvb = dims // OCC_V
-            cc_tab = (cbase + jnp.clip(c, 0, n_chunks - 1)) * nvb
-            vb0 = v_base // OCC_V
-            vb_hi = v_max // OCC_V
-            occ = jnp.int32(0)
-            for q in range(win_v // OCC_V + 1):
-                vb = jnp.clip(vb0 + q, 0, nvb - 1)
-                occ = occ | jnp.where(vb <= vb_hi, occ_ref[cc_tab + vb], 0)
-
-            def occupied(r, g, b, a, ovf):
-                v_b2 = (v_base // 8) * 8  # int8 sublane alignment
-                step_ovf = ((u_max - u_base) > win_u - 1) | (
-                    (v_max - v_b2) > win_v - 1
+        # occupancy over the window's (v, u) bands (table is global over
+        # the 6 classes; cbase is in band units -> recover the class offset)
+        cc = jnp.clip(c, 0, n_chunks - 1)
+        cls = cbase // (n_chunks * nb)
+        cc_tab = (cls * n_chunks + cc) * nvb * nub
+        vb0 = v_base // OCC_V
+        vb_hi = v_max // OCC_V
+        ub0 = u_base // OCC_U
+        ub_hi = u_max // OCC_U
+        occ = jnp.int32(0)
+        for q in range(win_v // OCC_V + 1):
+            vb = jnp.clip(vb0 + q, 0, nvb - 1)
+            v_in = vb <= vb_hi
+            for qu in range(min(128 // OCC_U + 1, nub)):
+                ub = jnp.clip(ub0 + qu, 0, nub - 1)
+                occ = occ | jnp.where(
+                    v_in & (ub <= ub_hi), occ_ref[(cc_tab + vb * nub) + ub], 0
                 )
-                ovf2 = ovf | step_ovf
-                u_b2 = jnp.clip(u_base, 0, dims - win_u)
-                v_b2 = pl.multiple_of(jnp.clip(v_b2, 0, dims - win_v), 8)
-                n_rows = jnp.clip(v_max - v_b2 + 1, 0, win_v)
-                ub_f = u_b2.astype(jnp.float32)
-                vb_f = v_b2.astype(jnp.float32)
 
-                # dequantize + roll all CHUNK+1 slab windows once
-                for src in range(CHUNK + 1):
-                    raw = buf[src, pl.ds(v_b2, win_v), :]
-                    w = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-                    rolled = pltpu.roll(w, -u_b2, 1)[:, :win_u]
-                    if win_u < 128:
-                        rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
-                    win2d[pl.ds(src * win_v, win_v), :] = rolled
+        v_b2 = (v_base // 8) * 8  # int8 sublane alignment
+        step_ovf = ((u_max - u_base) > win_u - 1) | ((v_max - v_b2) > win_v - 1)
+        u_b2 = jnp.clip(u_base, 0, dims - win_u)
+        v_b2 = jnp.clip(v_b2, 0, dims - win_v)
+        n_rows = jnp.clip(v_max - v_b2 + 1, 0, win_v)
+        band = jnp.clip(v_b2 // BAND_STRIDE, 0, nb - 1)
+        want = anyact & (occ > 0)
+        return (want, cc, band, u_b2, v_b2, n_rows, step_ovf & anyact)
 
-                def slab(s_in, st):
-                    r, g, b, a = st
-                    k = k_lo + s_in
-                    j = (k - k0).astype(jnp.float32)
-                    active = mask & (j >= 0) & (j < nsteps) & (a < 0.95)
-                    u = u0 + j * du
-                    v = v0 + j * dv
-                    fu0 = jnp.floor(u)
-                    fv0 = jnp.floor(v)
-                    iu0 = jnp.clip(fu0, 0.0, fdims - 1.0)
-                    iu1 = jnp.clip(fu0 + 1.0, 0.0, fdims - 1.0)
-                    iv0 = jnp.clip(fv0, 0.0, fdims - 1.0)
-                    iv1 = jnp.clip(fv0 + 1.0, 0.0, fdims - 1.0)
-                    fu = u - fu0
-                    fv = v - fv0
-                    iu0l = jnp.clip((iu0 - ub_f).astype(jnp.int32), 0, win_u - 1)
-                    iu1l = jnp.clip((iu1 - ub_f).astype(jnp.int32), 0, win_u - 1)
-                    iv0l = (iv0 - vb_f).astype(jnp.int32)
-                    iv1l = (iv1 - vb_f).astype(jnp.int32)
-                    base_a = s_in * win_v
-                    base_b = base_a + win_v
+    def dma_band(buf, sem, meta):
+        _, cc, band, _, _, _, _ = meta
+        return pltpu.make_async_copy(vol_hbm.at[cbase + cc * nb + band], buf, sem)
 
-                    def row_scan(ci, taps):
-                        # unrolled x4: dynamic-loop iterations carry heavy
-                        # fixed overhead on this target; over-scanning is
-                        # safe (rows past the span never match a tap index)
-                        for q in range(4):
-                            cc = ci * 4 + q
-                            a00, a01, a10, a11 = taps
-                            rowa = jnp.broadcast_to(
-                                win2d[pl.ds(base_a + cc, 1), :], u0.shape)
-                            rowb = jnp.broadcast_to(
-                                win2d[pl.ds(base_b + cc, 1), :], u0.shape)
-                            ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
-                            ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
-                            gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
-                            gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
-                            t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused per tap
-                            t1 = ga1 + (gb1 - ga1) * fm
-                            m0 = iv0l == cc
-                            m1 = iv1l == cc
-                            taps = (
-                                jnp.where(m0, t0, a00),
-                                jnp.where(m0, t1, a01),
-                                jnp.where(m1, t0, a10),
-                                jnp.where(m1, t1, a11),
-                            )
-                        return taps
+    def process_chunk(buf, c, meta, state):
+        """March the 8 slabs k = 8c-1 .. 8c+6 from one resident band."""
+        r, g, b, a, ovf = state
+        want, _, band, u_b2, v_b2, n_rows, step_ovf = meta
+        k_lo = CHUNK * c - 1
+        ovf = ovf | step_ovf
 
-                    t00, t01, t10, t11 = lax.fori_loop(
-                        0, (n_rows + 3) // 4, row_scan, (zero, zero, zero, zero)
-                    )
-                    c0 = t00 + (t01 - t00) * fu
-                    c1 = t10 + (t11 - t10) * fu
-                    samp = c0 + (c1 - c0) * fv
+        def occupied(r, g, b, a):
+            v_loc = pl.multiple_of(v_b2 - band * BAND_STRIDE, 8)
+            ub_f = u_b2.astype(jnp.float32)
+            vb_f = v_b2.astype(jnp.float32)
 
-                    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
-                    cr, cg, cb = _vertigo_soa(tv)
-                    one_m_a = 1.0 - a
-                    w = one_m_a * tv
-                    return (
-                        jnp.where(active, r + w * cr, r),
-                        jnp.where(active, g + w * cg, g),
-                        jnp.where(active, b + w * cb, b),
-                        jnp.where(active, a + one_m_a * tv, a),
-                    )
+            # dequantize + roll all CHUNK+1 slab windows once
+            for src in range(CHUNK + 1):
+                raw = buf[src, pl.ds(v_loc, win_v), :]
+                w = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+                rolled = pltpu.roll(w, -u_b2, 1)[:, :win_u]
+                if win_u < 128:
+                    rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
+                win2d[pl.ds(src * win_v, win_v), :] = rolled
 
-                r, g, b, a = lax.fori_loop(0, CHUNK, slab, (r, g, b, a))
-                return r, g, b, a, ovf2
+            def slab(s_in, st):
+                r, g, b, a = st
+                k = k_lo + s_in
+                j = (k - k0).astype(jnp.float32)
+                active = mask & (j >= 0) & (j < nsteps) & (a < 0.95)
+                u = u0 + j * du
+                v = v0 + j * dv
+                fu0 = jnp.floor(u)
+                fv0 = jnp.floor(v)
+                iu0 = jnp.clip(fu0, 0.0, fdims - 1.0)
+                iu1 = jnp.clip(fu0 + 1.0, 0.0, fdims - 1.0)
+                iv0 = jnp.clip(fv0, 0.0, fdims - 1.0)
+                iv1 = jnp.clip(fv0 + 1.0, 0.0, fdims - 1.0)
+                fu = u - fu0
+                fv = v - fv0
+                iu0l = jnp.clip((iu0 - ub_f).astype(jnp.int32), 0, win_u - 1)
+                iu1l = jnp.clip((iu1 - ub_f).astype(jnp.int32), 0, win_u - 1)
+                iv0l = (iv0 - vb_f).astype(jnp.int32)
+                iv1l = (iv1 - vb_f).astype(jnp.int32)
+                base_a = s_in * win_v
+                base_b = base_a + win_v
 
-            return lax.cond(occ > 0, occupied, lambda *s: s, r, g, b, a, ovf)
+                def row_scan(ci, taps):
+                    # unrolled x4: dynamic-loop iterations carry heavy fixed
+                    # overhead here; over-scanning is safe (rows past the
+                    # span never match a tap index; scratch padded +8 rows)
+                    for q in range(4):
+                        cc_ = ci * 4 + q
+                        a00, a01, a10, a11 = taps
+                        rowa = jnp.broadcast_to(
+                            win2d[pl.ds(base_a + cc_, 1), :], u0.shape)
+                        rowb = jnp.broadcast_to(
+                            win2d[pl.ds(base_b + cc_, 1), :], u0.shape)
+                        ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
+                        ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
+                        gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
+                        gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
+                        t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused per tap
+                        t1 = ga1 + (gb1 - ga1) * fm
+                        m0 = iv0l == cc_
+                        m1 = iv1l == cc_
+                        taps = (
+                            jnp.where(m0, t0, a00),
+                            jnp.where(m0, t1, a01),
+                            jnp.where(m1, t0, a10),
+                            jnp.where(m1, t1, a11),
+                        )
+                    return taps
 
-        return lax.cond(anyact, do_chunk, lambda *s: s, r, g, b, a, ovf)
+                t00, t01, t10, t11 = lax.fori_loop(
+                    0, (n_rows + 3) // 4, row_scan, (zero, zero, zero, zero)
+                )
+                c0 = t00 + (t01 - t00) * fu
+                c1 = t10 + (t11 - t10) * fu
+                samp = c0 + (c1 - c0) * fv
+
+                # transfer (raycast_naive.wgsl:101-108)
+                tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
+                cr, cg, cb = _vertigo_soa(tv)
+                one_m_a = 1.0 - a
+                w = one_m_a * tv
+                return (
+                    jnp.where(active, r + w * cr, r),
+                    jnp.where(active, g + w * cg, g),
+                    jnp.where(active, b + w * cb, b),
+                    jnp.where(active, a + one_m_a * tv, a),
+                )
+
+            return lax.fori_loop(0, CHUNK, slab, (r, g, b, a))
+
+        r, g, b, a = lax.cond(want, occupied, lambda r, g, b, a: (r, g, b, a),
+                              r, g, b, a)
+        return r, g, b, a, ovf
 
     def alive(c_next, a):
-        # any ray not yet opaque whose k-range the sweep hasn't passed
         k_cursor = CHUNK * c_next - 1
         return jnp.any(mask & (a < 0.95) & (k_cursor <= k_last_per_ray))
 
+    # ---- sweep: 2 chunks per iteration, started-flag DMA pipeline --------
+    a0 = zero
+    meta0 = chunk_meta(c_first, a0)
+    meta0 = (meta0[0] & (n_c > 0),) + meta0[1:]
+    meta1 = chunk_meta(c_first + 1, a0)
+    meta1 = (meta1[0] & (n_c > 1),) + meta1[1:]
+
+    @pl.when(meta0[0])
+    def _():
+        dma_band(buf_a, sem_a, meta0).start()
+
+    @pl.when(meta1[0])
+    def _():
+        dma_band(buf_b, sem_b, meta1).start()
+
     def body(carry):
-        i, c, r, g, b, a, ovf = carry
-        # stage A: buf_a holds chunk c (prologue or stage B's prefetch)
-        dma_chunk(buf_a, sem_a, c).wait()
-        r, g, b, a, ovf = process_chunk(buf_a, c, (r, g, b, a, ovf))
-        c2 = c + 1
-        go_b = (i + 1 < n_c) & alive(c2, a)
+        i, c, ma, mb, r, g, b, a, ovf = carry
 
-        # stage B: buf_b holds chunk c+1 (prologue or previous stage A)
-        def stage_b(r, g, b, a, ovf):
-            dma_chunk(buf_b, sem_b, c2).wait()
+        # stage A: chunk c from buf_a
+        @pl.when(ma[0])
+        def _():
+            dma_band(buf_a, sem_a, ma).wait()
 
-            @pl.when(i + 2 < n_c)
-            def _():
-                dma_chunk(buf_a, sem_a, c2 + 1).start()
+        r, g, b, a, ovf = process_chunk(buf_a, c, ma, (r, g, b, a, ovf))
 
-            return process_chunk(buf_b, c2, (r, g, b, a, ovf))
+        # prefetch chunk c+2 into buf_a (A is free; overlaps stage B)
+        m2 = chunk_meta(c + 2, a)
+        m2 = (m2[0] & (i + 2 < n_c),) + m2[1:]
 
-        def drain_b(r, g, b, a, ovf):
-            # exiting before consuming buf_b's DMA: drain it
-            @pl.when(i + 1 < n_c)
-            def _():
-                dma_chunk(buf_b, sem_b, c2).wait()
+        @pl.when(m2[0])
+        def _():
+            dma_band(buf_a, sem_a, m2).start()
 
-            return r, g, b, a, ovf
+        # stage B: chunk c+1 from buf_b
+        @pl.when(mb[0])
+        def _():
+            dma_band(buf_b, sem_b, mb).wait()
 
-        r, g, b, a, ovf = lax.cond(go_b, stage_b, drain_b, r, g, b, a, ovf)
+        r, g, b, a, ovf = process_chunk(buf_b, c + 1, mb, (r, g, b, a, ovf))
 
-        c3 = c2 + 1
-        go_next = go_b & (i + 2 < n_c) & alive(c3, a)
+        # prefetch chunk c+3 into buf_b
+        m3 = chunk_meta(c + 3, a)
+        m3 = (m3[0] & (i + 3 < n_c),) + m3[1:]
 
-        def prefetch_b(ovf):
-            @pl.when(i + 3 < n_c)
-            def _():
-                dma_chunk(buf_b, sem_b, c3 + 1).start()
+        @pl.when(m3[0])
+        def _():
+            dma_band(buf_b, sem_b, m3).start()
 
-            return ovf
-
-        def drain_a(ovf):
-            # stage B prefetched chunk c3 into buf_a; drain if exiting
-            @pl.when(go_b & (i + 2 < n_c))
-            def _():
-                dma_chunk(buf_a, sem_a, c3).wait()
-
-            return ovf
-
-        ovf = lax.cond(go_next, prefetch_b, drain_a, ovf)
-        return i + 2, c3, r, g, b, a, ovf
+        return i + 2, c + 2, m2, m3, r, g, b, a, ovf
 
     def cond(carry):
-        i, c, r, g, b, a, ovf = carry
+        i, c, ma, mb, r, g, b, a, ovf = carry
         return (i < n_c) & alive(c, a)
 
-    init = (jnp.int32(0), c_first, zero, zero, zero, zero, jnp.bool_(False))
+    init = (jnp.int32(0), c_first, meta0, meta1, zero, zero, zero, zero,
+            jnp.bool_(False))
 
-    def run(_):
-        return lax.while_loop(cond, body, init)
+    def run(init):
+        final = lax.while_loop(cond, body, init)
+        _, _, ma_f, mb_f, r, g, b, a, ovf = final
 
-    _, _, r, g, b, a, ovf = lax.cond(any_ray & (n_c > 0), run, lambda _: init, 0)
+        # drain DMAs started for chunks the early exit never processed
+        @pl.when(ma_f[0])
+        def _():
+            dma_band(buf_a, sem_a, ma_f).wait()
+
+        @pl.when(mb_f[0])
+        def _():
+            dma_band(buf_b, sem_b, mb_f).wait()
+
+        return r, g, b, a, ovf
+
+    def no_run(init):
+        # prologue is guarded by the same flags: drain if started
+        @pl.when(meta0[0])
+        def _():
+            dma_band(buf_a, sem_a, meta0).wait()
+
+        @pl.when(meta1[0])
+        def _():
+            dma_band(buf_b, sem_b, meta1).wait()
+
+        return zero, zero, zero, zero, jnp.bool_(False)
+
+    r, g, b, a, ovf = lax.cond(any_ray & (n_c > 0), run, no_run, init)
 
     out_r[:] = jnp.where(mask, r, 0.0)
     out_g[:] = jnp.where(mask, g, 0.0)
@@ -341,13 +380,15 @@ def _march_kernel(
     out_ovf[:] = jnp.broadcast_to(ovf.astype(jnp.float32), out_ovf.shape)
 
 
-def prepare_volume(vol_u8):
-    """Build the six slab-major overlapped-chunk uint8 layouts, stacked.
+def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
+    """Build the six slab-major banded-chunk uint8 layouts + occupancy.
 
     ``vol_u8``: (D, D, D) numpy/jnp uint8 indexed [z, y, x]. Class order is
     (m=0,s=+1), (m=0,s=-1), (m=1,s=+1), ... — negative classes use the
     slab-axis-reversed volume so the kernel always sweeps ascending.
-    Returns (dims, (6*n_chunks, CHUNK+1, D, D) device array).
+
+    Returns ``(meta, pack)`` where meta = (dims, band_rows, nb) statics and
+    pack = (banded chunks, flat occupancy, per-class chunk ranges) arrays.
     """
     vol_np = np.asarray(vol_u8)
     assert vol_np.dtype == np.uint8, "bonsai kernel wants a uint8 volume"
@@ -359,6 +400,10 @@ def prepare_volume(vol_u8):
         2: vol_np,  # m=z: [z][y][x] (v=y, u=x)
     }
     n_chunks = cdiv(d + 1, CHUNK)
+    win = min(max_win_rows, d)
+    band_rows = min(d, round_up(BAND_STRIDE + win, 8))
+    nb = 1 if d <= band_rows else cdiv(d - band_rows, BAND_STRIDE) + 1
+
     idx = np.clip(
         (np.arange(n_chunks)[:, None] * CHUNK - 1) + np.arange(CHUNK + 1)[None, :],
         0,
@@ -370,23 +415,33 @@ def prepare_volume(vol_u8):
             lay = base[m] if s > 0 else base[m][::-1]
             stacks.append(lay[idx])
     chunks = np.stack(stacks).reshape(-1, CHUNK + 1, d, d)
-    # occupancy: any nonzero voxel per (chunk, OCC_V-row v-band)
-    occ2d = (
-        chunks.reshape(chunks.shape[0], CHUNK + 1, d // OCC_V, OCC_V, d)
-        .any(axis=(1, 3, 4))
+
+    # v-banded copies: band b = rows [64b, 64b + band_rows), zero-padded
+    padded = np.zeros((chunks.shape[0], CHUNK + 1, (nb - 1) * BAND_STRIDE + band_rows, d),
+                      np.uint8)
+    padded[:, :, :d, :] = chunks
+    banded = np.stack(
+        [padded[:, :, b * BAND_STRIDE : b * BAND_STRIDE + band_rows, :]
+         for b in range(nb)],
+        axis=1,
+    ).reshape(-1, CHUNK + 1, band_rows, d)
+
+    nub = max(d // OCC_U, 1)
+    occ3d = (
+        chunks.reshape(chunks.shape[0], CHUNK + 1, d // OCC_V, OCC_V, nub, d // nub)
+        .any(axis=(1, 3, 5))
     )
-    occ = occ2d.astype(np.int32).reshape(-1)  # flat: [chunk*(D/OCC_V)+vband]
-    # per-class occupied chunk range [lo, hi] (inclusive)
-    n_chunks = chunks.shape[0] // 6
-    nonempty = occ2d.any(axis=1).reshape(6, n_chunks)
+    occ = occ3d.astype(np.int32).reshape(-1)
+    occ2d = occ3d.any(axis=2)
+    nonempty = occ2d.reshape(6, n_chunks, -1).any(axis=2)
     cranges = np.zeros((6, 2), np.int32)
     for cls in range(6):
         idxs = np.nonzero(nonempty[cls])[0]
-        if len(idxs):
-            cranges[cls] = (idxs[0], idxs[-1])
-        else:
-            cranges[cls] = (1, 0)  # empty range
-    return d, (jnp.asarray(chunks), jnp.asarray(occ), jnp.asarray(cranges))
+        cranges[cls] = (idxs[0], idxs[-1]) if len(idxs) else (1, 0)
+
+    meta = (d, band_rows, nb)
+    pack = (jnp.asarray(banded), jnp.asarray(occ), jnp.asarray(cranges))
+    return meta, pack
 
 
 def _pack_tiles(x, ph, pw):
@@ -403,10 +458,13 @@ def _unpack_tiles(x, ph, pw):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "dims", "max_steps", "srgb", "win_rows"),
+    static_argnames=(
+        "width", "height", "dims", "max_steps", "srgb", "win_rows",
+        "band_rows", "nb",
+    ),
 )
 def _render_bonsai_pallas(
-    vol_pack,  # (chunks u8, occ flat int32, per-class chunk ranges (6,2))
+    vol_pack,  # (banded chunks u8, occ flat int32, per-class chunk ranges)
     camera_uniform,
     width: int,
     height: int,
@@ -414,7 +472,10 @@ def _render_bonsai_pallas(
     max_steps: int,
     srgb: bool,
     win_rows: int = WIN_V,
+    band_rows: int = 128,
+    nb: int = 3,
 ):
+    vol_chunks, occ, cranges = vol_pack
     eye, (dx, dy, dz) = geometry.rays_fragment_soa(camera_uniform, width, height)
     ex = jnp.broadcast_to(eye[0], dx.shape)
     ey = jnp.broadcast_to(eye[1], dx.shape)
@@ -441,7 +502,6 @@ def _render_bonsai_pallas(
     n_tiles = (ph // TILE) * (pw // TILE)
     n_chunks = cdiv(dims + 1, CHUNK)
 
-    # per-class ray parameters, stacked along the grid axis
     per_class = {k: [] for k in ("u0", "v0", "du", "dv", "fm", "k0", "n", "mask")}
     cls_idx = 0
     cbases = []
@@ -480,7 +540,7 @@ def _render_bonsai_pallas(
             per_class["k0"].append(pack(k0c).astype(jnp.int32))
             per_class["n"].append(pack(n_f).astype(jnp.int32))
             per_class["mask"].append(pack(mask))
-            cbases.append(jnp.full((n_tiles,), cls_idx * n_chunks, jnp.int32))
+            cbases.append(jnp.full((n_tiles,), cls_idx * n_chunks * nb, jnp.int32))
             cls_idx += 1
 
     grid = (6 * n_tiles,)
@@ -488,8 +548,6 @@ def _render_bonsai_pallas(
            ("u0", "v0", "du", "dv", "fm", "k0", "n", "mask")]
     cbase = jnp.concatenate(cbases)
 
-    vol_chunks, occ, cranges = vol_pack
-    # with scalar prefetch, index maps receive the prefetch refs as extra args
     block = pl.BlockSpec(
         (8, 128), lambda i, _cb, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
     )
@@ -499,8 +557,8 @@ def _render_bonsai_pallas(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 8,
         out_specs=[block] * 5,
         scratch_shapes=[
-            pltpu.VMEM((CHUNK + 1, dims, dims), jnp.uint8),
-            pltpu.VMEM((CHUNK + 1, dims, dims), jnp.uint8),
+            pltpu.VMEM((CHUNK + 1, band_rows, dims), jnp.uint8),
+            pltpu.VMEM((CHUNK + 1, band_rows, dims), jnp.uint8),
             # +8 rows: the x4-unrolled row scan may over-read past the
             # last slab section (values never match a tap index)
             pltpu.VMEM(((CHUNK + 1) * min(win_rows, dims) + 8, 128), jnp.float32),
@@ -509,14 +567,14 @@ def _render_bonsai_pallas(
         ],
     )
     outs_call = pl.pallas_call(
-        partial(_march_kernel, dims=dims, win_rows=win_rows),
+        partial(_march_kernel, dims=dims, win_rows=win_rows,
+                band_rows=band_rows, nb=nb),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((6 * n_tiles * 8, 128), jnp.float32)] * 5,
     )
     crange_grid = jnp.repeat(cranges, n_tiles, axis=0).reshape(-1)
     outs = outs_call(cbase, crange_grid, occ, vol_chunks, *ins)
 
-    # merge the 6 class contributions (each ray belongs to exactly one)
     planes = [o.reshape(6, n_tiles * 8, 128).sum(0) for o in outs[:4]]
     n_ovf = jnp.sum(outs[4]).astype(jnp.int32)
     planes = [_unpack_tiles(p, ph, pw)[:height, :width] for p in planes]
@@ -528,14 +586,17 @@ def _render_bonsai_pallas(
 
 
 class BonsaiRenderer:
-    """Holds the per-volume slab-chunk layouts; call to render.
+    """Holds the per-volume banded slab layouts; call to render.
 
     TPU-side analog of the reference's VolumeTexture + RaycastPipeline pair
     (examples/bonsai/raycast.rs:12-141).
     """
 
-    def __init__(self, vol_u8):
-        self.dims, self.layouts = prepare_volume(vol_u8)
+    def __init__(self, vol_u8, win_rows: int = WIN_V):
+        (self.dims, self.band_rows, self.nb), self.layouts = prepare_volume(
+            vol_u8, win_rows
+        )
+        self.win_rows = win_rows
         self.last_overflow = 0
 
     def __call__(
@@ -545,14 +606,33 @@ class BonsaiRenderer:
         height: int = 720,
         max_steps: int = MAX_STEPS_BONSAI,
         srgb: bool = True,
-        win_rows: int = WIN_V,
+        win_rows: int | None = None,
     ):
         img, ovf = _render_bonsai_pallas(
             self.layouts, camera_uniform, width, height,
-            self.dims, max_steps, srgb, win_rows,
+            self.dims, max_steps, srgb,
+            win_rows or self.win_rows, self.band_rows, self.nb,
         )
         self.last_overflow = ovf
         return img
+
+
+def build_renderer(vol_u8, win_rows: int = WIN_V):
+    """Functional API for jit pipelines: returns (render_fn, pack) where
+    render_fn(pack, camera_uniform, width, height) is jittable and the pack
+    travels as ARGUMENTS (closing over it would bake ~100MB of constants
+    into the HLO — catastrophic for this environment's remote compiles)."""
+    (dims, band_rows, nb), pack = prepare_volume(vol_u8, win_rows)
+
+    def render(pk, camera_uniform, width, height,
+               max_steps=MAX_STEPS_BONSAI, srgb=True):
+        img, _ = _render_bonsai_pallas(
+            pk, camera_uniform, width, height, dims, max_steps, srgb,
+            win_rows, band_rows, nb,
+        )
+        return img
+
+    return render, pack
 
 
 def render_bonsai_pallas(vol_u8, camera_uniform, width=1280, height=720, **kw):
