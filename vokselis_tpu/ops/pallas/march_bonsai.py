@@ -74,7 +74,7 @@ _AXES = {0: (2, 1), 1: (2, 0), 2: (1, 0)}
 WIN_V = 64  # default slab-window rows; u window is 128 lanes after the roll
 TILE = 32  # pixel tile edge; one (8,128) block = one 32x32 tile
 CHUNK = 8  # march slabs per DMA chunk (chunk holds CHUNK+1 slabs)
-OCC_V = 16  # v-rows per occupancy block
+OCC_V = 8  # v-rows per occupancy block
 OCC_U = 128  # u-cols per occupancy block
 BAND_STRIDE = 64  # v-band start granularity
 
