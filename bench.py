@@ -184,7 +184,7 @@ def main():
 
     results = {}
     t0 = time.time()
-    mrays, sec = bench_bonsai()
+    mrays, sec = bench_bonsai(use_pallas=False if args.cpu_oracle else None)
     results["bonsai_1024"] = (mrays, sec)
     _log(f"config 3 bonsai 256^3 @1024^2: {sec*1000:.1f} ms/frame = "
          f"{mrays:.1f} Mrays/s  [{time.time()-t0:.0f}s elapsed]")
