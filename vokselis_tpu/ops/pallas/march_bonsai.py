@@ -587,6 +587,15 @@ def _render_bonsai_pallas(
     return jnp.concatenate([rgb, alpha], axis=-1), n_ovf
 
 
+def auto_win_rows(dims: int, width: int, height: int) -> int:
+    """Window rows sized to the worst per-tile slab footprint: a TILE-pixel
+    tile at 90-degree fovy spans ~dims * TILE/min(w,h) * path voxels; +32
+    covers chunk growth, alignment, and tap spill. Measured needs: 64 at
+    1024^2, 80 at 512^2, 96 at 640x360 (256^3 volume)."""
+    est = (3 * dims * TILE) // max(min(width, height), 1) + 32
+    return max(64, min(96, (est + 7) // 8 * 8))
+
+
 class BonsaiRenderer:
     """Holds the per-volume banded slab layouts; call to render.
 
@@ -594,11 +603,13 @@ class BonsaiRenderer:
     (examples/bonsai/raycast.rs:12-141).
     """
 
-    def __init__(self, vol_u8, win_rows: int = WIN_V):
+    def __init__(self, vol_u8, win_rows: int = 96):
+        # layouts are built for the LARGEST window the renderer may use;
+        # smaller per-call windows reuse the same bands
         (self.dims, self.band_rows, self.nb), self.layouts = prepare_volume(
             vol_u8, win_rows
         )
-        self.win_rows = win_rows
+        self.max_win_rows = win_rows
         self.last_overflow = 0
 
     def __call__(
@@ -610,10 +621,13 @@ class BonsaiRenderer:
         srgb: bool = True,
         win_rows: int | None = None,
     ):
+        if win_rows is None:
+            win_rows = min(auto_win_rows(self.dims, width, height),
+                           self.max_win_rows)
         img, ovf = _render_bonsai_pallas(
             self.layouts, camera_uniform, width, height,
             self.dims, max_steps, srgb,
-            win_rows or self.win_rows, self.band_rows, self.nb,
+            win_rows, self.band_rows, self.nb,
         )
         self.last_overflow = ovf
         return img
