@@ -176,7 +176,9 @@ def render_field_pallas(
     dims: int = 256,
     quantize: bool = True,
     max_steps: int = MAX_STEPS_COMPUTE,
-    tile_h: int = 128,
+    # 16-row tiles measured fastest at 512^2 (19.6/21.6/28.7/32.1 ms for
+    # tile_h 16/32/64/128): finer tiles exit the march loop sooner
+    tile_h: int = 16,
     tile_w: int = 128,
     interpret: bool = False,
     sphere_clip: bool = True,
