@@ -47,4 +47,9 @@ def finish(ctx, args):
 
 def maybe_cpu(args):
     if args.cpu:
+        # this image's sitecustomize pins JAX_PLATFORMS=axon; the env var
+        # alone doesn't win, the config must also be flipped post-import
         os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")

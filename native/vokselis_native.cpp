@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <chrono>
 #include <condition_variable>
 #include <deque>
 #include <memory>
@@ -123,13 +124,16 @@ struct Recorder {
   std::mutex mu;
   std::condition_variable cv;
   std::thread worker;
-  FILE* ffmpeg = nullptr;
+  FILE* ffmpeg = nullptr;   // guarded by mu; stable while `busy` is true
+  pid_t ffmpeg_pid = -1;
   bool stop = false;
+  bool busy = false;  // worker holds a popped frame it hasn't written yet
   int dropped = 0;
 
   void run() {
     for (;;) {
       Frame fr;
+      FILE* sink = nullptr;
       {
         std::unique_lock<std::mutex> lk(mu);
         cv.wait(lk, [&] { return stop || !queue.empty(); });
@@ -139,12 +143,19 @@ struct Recorder {
         }
         fr = std::move(queue.front());
         queue.pop_front();
+        busy = true;  // finish_video must not pclose until this write lands
+        sink = ffmpeg;
       }
       if (fr.kind == 1) {
         vx_write_png(fr.path.c_str(), fr.data.data(), fr.h, fr.w, fr.c, 1);
-      } else if (ffmpeg) {
-        fwrite(fr.data.data(), 1, fr.data.size(), ffmpeg);
+      } else if (sink) {
+        fwrite(fr.data.data(), 1, fr.data.size(), sink);
       }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        busy = false;
+      }
+      cv.notify_all();
     }
   }
 };
@@ -158,16 +169,44 @@ void* vx_recorder_new() {
 int vx_recorder_start_video(void* rec, const char* out_path, int w, int h,
                             int fps) {
   auto* r = (Recorder*)rec;
+  std::lock_guard<std::mutex> lk(r->mu);
   if (r->ffmpeg) return -1;
-  char cmd[1024];
-  // recorder.rs:79-127: raw RGBA pipe -> x264 crf 15 yuv420p
-  snprintf(cmd, sizeof(cmd),
-           "ffmpeg -loglevel error -framerate %d -pix_fmt rgba -f rawvideo "
-           "-s %dx%d -i pipe: -c:v libx264 -crf 15 -preset slow "
-           "-tune animation -pix_fmt yuv420p -an '%s'",
-           fps, w, h, out_path);
-  r->ffmpeg = popen(cmd, "w");
-  return r->ffmpeg ? 0 : -2;
+  // recorder.rs:79-127: raw RGBA pipe -> x264 crf 15 yuv420p.
+  // argv exec (no shell): out_path with quotes/metacharacters is safe, and
+  // arbitrary-length paths work (mirrors media/recorder.py's list-args Popen)
+  std::string fps_s = std::to_string(fps);
+  std::string size_s = std::to_string(w) + "x" + std::to_string(h);
+  const char* argv[] = {
+      "ffmpeg", "-loglevel", "error", "-framerate", fps_s.c_str(),
+      "-pix_fmt", "rgba", "-f", "rawvideo", "-s", size_s.c_str(),
+      "-i", "pipe:", "-c:v", "libx264", "-crf", "15", "-preset", "slow",
+      "-tune", "animation", "-pix_fmt", "yuv420p", "-an", "-y",
+      out_path, nullptr};
+  int fds[2];
+  if (pipe(fds) != 0) return -2;
+  pid_t pid = fork();
+  if (pid < 0) {
+    close(fds[0]);
+    close(fds[1]);
+    return -2;
+  }
+  if (pid == 0) {  // child: stdin <- pipe read end, exec ffmpeg
+    dup2(fds[0], 0);
+    close(fds[0]);
+    close(fds[1]);
+    execvp("ffmpeg", const_cast<char* const*>(argv));
+    _exit(127);
+  }
+  close(fds[0]);
+  FILE* sink = fdopen(fds[1], "w");
+  if (!sink) {
+    close(fds[1]);
+    waitpid(pid, nullptr, 0);
+    return -2;
+  }
+  r->ffmpeg = sink;
+  r->ffmpeg_pid = pid;
+  return 0;
 }
 
 int vx_recorder_push_frame(void* rec, const uint8_t* data, int h, int w, int c) {
@@ -199,17 +238,20 @@ int vx_recorder_screenshot(void* rec, const char* path, const uint8_t* data,
 
 int vx_recorder_finish_video(void* rec) {
   auto* r = (Recorder*)rec;
-  // drain queue first
-  for (;;) {
-    {
-      std::lock_guard<std::mutex> lk(r->mu);
-      if (r->queue.empty()) break;
-    }
-    std::this_thread::sleep_for(std::chrono::milliseconds(5));
-  }
-  if (r->ffmpeg) {
-    pclose(r->ffmpeg);
+  FILE* sink = nullptr;
+  pid_t pid = -1;
+  {
+    // drained = queue empty AND no popped-but-unwritten frame in flight
+    std::unique_lock<std::mutex> lk(r->mu);
+    r->cv.wait(lk, [&] { return r->queue.empty() && !r->busy; });
+    sink = r->ffmpeg;
+    pid = r->ffmpeg_pid;
     r->ffmpeg = nullptr;
+    r->ffmpeg_pid = -1;
+  }
+  if (sink) {
+    fclose(sink);  // EOF on ffmpeg's stdin -> it finalises the file
+    if (pid > 0) waitpid(pid, nullptr, 0);
   }
   return 0;
 }

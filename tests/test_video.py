@@ -32,11 +32,18 @@ def fake_ffmpeg(tmp_path, monkeypatch):
     return bindir
 
 
-def test_video_frames_reach_ffmpeg(fake_ffmpeg):
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_video_frames_reach_ffmpeg(fake_ffmpeg, backend):
     from vokselis_tpu.media.recorder import Recorder
     from vokselis_tpu.utils.misc import ImageDimensions
 
-    rec = Recorder()
+    if backend == "native":
+        from vokselis_tpu.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("native library unavailable")
+    rec = Recorder(backend=backend)
+    assert rec.backend == backend
     assert rec.ffmpeg_installed
     dims = ImageDimensions.new(32, 16)
     rec.start(dims)

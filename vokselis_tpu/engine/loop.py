@@ -98,8 +98,9 @@ def run(
                     if ev.get("dragging") and last_mouse is not None:
                         dx = x - last_mouse[0]
                         dy = y - last_mouse[1]
+                        # lib.rs:171-172: yaw negated, pitch NOT negated
                         ctx.camera.add_yaw(-dx * ctx.config.rotate_speed)
-                        ctx.camera.add_pitch(-dy * ctx.config.rotate_speed)
+                        ctx.camera.add_pitch(dy * ctx.config.rotate_speed)
                     last_mouse = (x, y)
                     ctx.input.update_mouse_pos(x, y, ctx.width, ctx.height)
                 elif kind == "wheel":

@@ -44,17 +44,33 @@ def _timestamp() -> str:
 class Recorder:
     """Host-side frame sink (Recorder, recorder.rs:25-72)."""
 
-    def __init__(self):
+    def __init__(self, backend: str = "auto"):
+        """``backend``: "native" (C++ worker-thread recorder, vokselis_native),
+        "python" (this module's thread), or "auto" (native when the library
+        builds, python otherwise)."""
         self._queue: "queue.Queue[RecordEvent | None]" = queue.Queue()
         self.ffmpeg_installed = shutil.which("ffmpeg") is not None
         if not self.ffmpeg_installed:
             # recorder.rs:62-71 — degrade to screenshots-only
             print("ffmpeg not found: video recording disabled, screenshots only")
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from vokselis_tpu.native import NativeRecorder
+
+                self._native = NativeRecorder()
+            except Exception:
+                if backend == "native":
+                    raise
         self._thread = threading.Thread(
             target=self._worker, name="recorder", daemon=True
         )
         self._thread.start()
         self.is_recording = False
+
+    @property
+    def backend(self) -> str:
+        return "native" if self._native is not None else "python"
 
     # --- producer API (called from the frame loop) ----------------------
     def screenshot(self, frame: np.ndarray, dims: ImageDimensions | None = None):
@@ -63,21 +79,43 @@ class Recorder:
     def start(self, dims: ImageDimensions):
         if not self.ffmpeg_installed:
             return
+        if self._native is not None:
+            create_folder(VIDEO_FOLDER)
+            out = os.path.join(VIDEO_FOLDER, f"{_timestamp()}.mp4")
+            if self._native.start_video(out, dims.width, dims.height, 60):
+                print(f"recording video to {out}")
+                self.is_recording = True
+            return
         self.is_recording = True
         self._queue.put(RecordEvent("start", None, dims))
 
     def record(self, frame: np.ndarray):
-        if self.is_recording:
-            self._queue.put(RecordEvent("record", np.asarray(frame)))
+        if not self.is_recording:
+            return
+        if self._native is not None:
+            self._native.push_frame(
+                np.ascontiguousarray(np.asarray(frame), dtype=np.uint8)
+            )
+            return
+        self._queue.put(RecordEvent("record", np.asarray(frame)))
 
     def finish(self):
+        was_recording = self.is_recording
         self.is_recording = False
+        if self._native is not None:
+            if was_recording:
+                self._native.finish_video()
+                print("video saved")
+            return
         self._queue.put(RecordEvent("finish"))
 
     def close(self):
         self.finish()
         self._queue.put(None)
         self._thread.join(timeout=5)
+        if self._native is not None:
+            self._native.close()
+            self._native = None
 
     # --- worker (record_thread, recorder.rs:129-187) ---------------------
     def _worker(self):

@@ -44,8 +44,15 @@ def get_lib():
         if _tried:
             return None
         _tried = True
-        if not os.path.isfile(_LIB_PATH) and not _build():
-            return None
+        src = os.path.abspath(_SRC)
+        stale = (
+            os.path.isfile(_LIB_PATH)
+            and os.path.isfile(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if (not os.path.isfile(_LIB_PATH) or stale) and not _build():
+            if not os.path.isfile(_LIB_PATH):
+                return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -611,6 +611,7 @@ class BonsaiRenderer:
         )
         self.max_win_rows = win_rows
         self.last_overflow = 0
+        self._vol = np.asarray(vol_u8)  # for the strict-mode oracle fallback
 
     def __call__(
         self,
@@ -620,7 +621,14 @@ class BonsaiRenderer:
         max_steps: int = MAX_STEPS_BONSAI,
         srgb: bool = True,
         win_rows: int | None = None,
+        strict: bool = False,
     ):
+        """Render one frame. ``strict=True`` synchronously checks the
+        kernel's window-overflow flag and re-renders the frame with the jnp
+        oracle if any tile's slab footprint exceeded the window — guaranteed
+        correct pixels at the cost of a device round-trip per frame (use for
+        goldens/extreme poses; interactive paths read ``last_overflow``
+        asynchronously instead)."""
         if win_rows is None:
             win_rows = min(auto_win_rows(self.dims, width, height),
                            self.max_win_rows)
@@ -630,23 +638,35 @@ class BonsaiRenderer:
             win_rows, self.band_rows, self.nb,
         )
         self.last_overflow = ovf
+        if strict and int(jax.device_get(ovf)) > 0:
+            from vokselis_tpu.ops import reference
+
+            img = reference.render_bonsai(
+                jnp.asarray(self._vol), camera_uniform, width=width,
+                height=height, max_steps=max_steps, srgb=srgb,
+            )
         return img
 
 
-def build_renderer(vol_u8, win_rows: int = WIN_V):
+def build_renderer(vol_u8, win_rows: int = WIN_V, with_overflow: bool = False):
     """Functional API for jit pipelines: returns (render_fn, pack) where
     render_fn(pack, camera_uniform, width, height) is jittable and the pack
     travels as ARGUMENTS (closing over it would bake ~100MB of constants
-    into the HLO — catastrophic for this environment's remote compiles)."""
+    into the HLO — catastrophic for this environment's remote compiles).
+
+    ``with_overflow=True`` makes render_fn return ``(img, overflow_count)``
+    so jit pipelines can check the kernel's only wrong-pixels signal
+    (a tile slab footprint exceeding the VMEM window); bench.py asserts it
+    is zero during warmup."""
     (dims, band_rows, nb), pack = prepare_volume(vol_u8, win_rows)
 
     def render(pk, camera_uniform, width, height,
                max_steps=MAX_STEPS_BONSAI, srgb=True):
-        img, _ = _render_bonsai_pallas(
+        img, ovf = _render_bonsai_pallas(
             pk, camera_uniform, width, height, dims, max_steps, srgb,
             win_rows, band_rows, nb,
         )
-        return img
+        return (img, ovf) if with_overflow else img
 
     return render, pack
 

@@ -49,7 +49,7 @@ _MASK_DIR_N = tuple(c / math.sqrt(3.0) for c in (1.0, 1.0, -1.0))
 
 
 def _march_kernel(
-    sin_t_ref,
+    time_ref,
     ex, ey, ez, dx, dy, dz, t0r, t1r, dtr,
     out_r, out_g, out_b, out_a,
     *,
@@ -59,7 +59,13 @@ def _march_kernel(
     quantize: bool,
     max_steps: int,
 ):
-    sin_t = sin_t_ref[0]
+    # time_ref holds [raw_time, sin(time)]: the xor/noise fields take
+    # sin(time) (shaders/xor.wgsl:56 samples sin_t precomputed per frame);
+    # trig_field takes RAW time (sin(8x + t)) — passing sin_t there diverged
+    # from the oracle for any t != 0 (round-1 VERDICT weak #4)
+    t_raw = time_ref[0]
+    sin_t = time_ref[1]
+    field_time = t_raw if field == "trig" else sin_t
     exv, eyv, ezv = ex[:], ey[:], ez[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     t0v, t1v, dtv = t0r[:], t1r[:], dtr[:]
@@ -90,7 +96,7 @@ def _march_kernel(
             cx, cy, cz = (gx - half) / dims, (gy - half) / dims, (gz - half) / dims
         else:
             cx, cy, cz = px, py, pz
-        return cx, cy, cz, field_fn(cx, cy, cz, sin_t)
+        return cx, cy, cz, field_fn(cx, cy, cz, field_time)
 
     def body(carry):
         i, r, g, b, a, t = carry
@@ -212,9 +218,11 @@ def render_field_pallas(
     radius = {"noise": 1.0, "xor": 1.4, "trig": 0.9}[field]
     if not sphere_clip:
         radius = 1e9  # disable the jump (step-capped parity testing)
-    # quantized fields sample the voxel CENTER of the position's voxel, which
-    # can lie up to half a voxel diagonal closer to the origin
-    pad = (math.sqrt(3.0) / dims) if quantize else 0.0
+    # quantized fields see coord = (floor((p+1)*D/2) - D/2)/D, which lies up
+    # to 1/D per axis BELOW p/2 — i.e. up to a 2*sqrt(3)/D shift toward the
+    # origin in world-p space (the floor drops up to a whole voxel, and the
+    # world->coord map halves distances, doubling back in p space)
+    pad = (2.0 * math.sqrt(3.0) / dims) if quantize else 0.0
     r2 = (radius + pad) ** 2
     # |e + t d|^2 = R^2  (d normalized)
     bq = ex * dx + ey * dy + ez * dz
@@ -238,7 +246,9 @@ def render_field_pallas(
 
     # padded rays: t0 == t1 == 0 -> hit False -> lanes stay idle
     ins = [pad(x) for x in (ex, ey, ez, dx, dy, dz, t0, t1, dt)]
-    sin_t = jnp.sin(time * 1.0).reshape(1)
+    # [raw_time, sin(time)]: xor/noise fields consume sin(time), the trig
+    # field consumes raw time (fields_soa.trig_field)
+    time_vec = jnp.stack([time, jnp.sin(time * 1.0)]).reshape(2)
 
     grid = (ph // tile_h, pw // tile_w)
     block = pl.BlockSpec(
@@ -260,6 +270,6 @@ def render_field_pallas(
         out_specs=[block] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(sin_t, *ins)
+    )(time_vec, *ins)
     img = jnp.stack([r, g, b, a], axis=-1)
     return img[:height, :width]
