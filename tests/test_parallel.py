@@ -8,6 +8,7 @@ import pytest
 
 from vokselis_tpu.core.camera import Camera
 from vokselis_tpu.parallel.sharding import (
+    build_default_renderer,
     make_mesh,
     multi_view_step,
     orbit_camera_batch,
@@ -27,18 +28,21 @@ def _vol():
 
 class TestSharding:
     def test_view_sharded_matches_single_device(self):
+        """Sharded-vs-single parity THROUGH the (render, pack) API — the
+        same functional pair drives the Pallas kernel on TPU slices."""
         mesh = make_mesh(views=8, tiles=1)
         vol = _vol()
         cams = orbit_camera_batch(8)
-        out = render_views_sharded(mesh, vol, cams, 16, 16, max_steps=8)
+        render, pack = build_default_renderer(vol)
+        out = render_views_sharded(mesh, render, pack, cams, 16, 16,
+                                   max_steps=8)
         out = np.asarray(out)
         assert out.shape == (8, 16, 16, 4)
-        # compare one view against the plain oracle
-        from vokselis_tpu.ops.reference import render_bonsai
-
-        one = jax.tree.map(lambda x: x[3], cams)
-        ref = np.asarray(render_bonsai(vol, one, width=16, height=16, max_steps=8))
-        np.testing.assert_allclose(out[3], ref, atol=1e-5)
+        # every view must match an unsharded render through the same pair
+        for k in (0, 3, 7):
+            one = jax.tree.map(lambda x: x[k], cams)
+            ref = np.asarray(render(pack, one, 16, 16, 8))
+            np.testing.assert_allclose(out[k], ref, atol=1e-5)
 
     def test_gathered_replication(self):
         mesh = make_mesh(views=4, tiles=2)

@@ -53,6 +53,7 @@ output with the defaults (win_rows=64; 96 for 512^3 volumes).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -67,6 +68,10 @@ from vokselis_tpu.core.colors import TAU, linear_to_srgb, smoothstep
 from vokselis_tpu.utils.grid import cdiv, round_up
 
 MAX_STEPS_BONSAI = int(math.ceil(math.sqrt(3.0) * 256.0)) + 1
+
+# TEMPORARY perf-ablation switch (0=off, 1=no row scan, 2=no conversion,
+# 3=no occupied work at all) — wrong images, timing only
+_ABLATE = int(os.environ.get("VOK_ABLATE", "0"))
 
 # (v-axis, u-axis) per dominant axis m (world axes 0=x, 1=y, 2=z)
 _AXES = {0: (2, 1), 1: (2, 0), 2: (1, 0)}
@@ -88,11 +93,11 @@ def _vertigo_soa(t):
 
 
 def _march_kernel(
-    cbase_ref,  # scalar-prefetch: (grid,) int32 band-array base per grid step
-    crange_ref,  # scalar-prefetch: (2*grid,) int32 occupied chunk lo/hi
+    crange_ref,  # scalar-prefetch: (12,) int32 per-class occupied chunk lo/hi
     occ_ref,  # scalar-prefetch: flat int32 occupancy [(chunk*nvb+vb)*nub+ub]
+    eye_ref,  # SMEM (3,) f32 camera eye
     vol_hbm,  # (6*n_chunks*nb, CHUNK+1, band_rows, D) uint8 banded chunks
-    u0r, v0r, dur, dvr, fmr, k0r, nr, maskr,  # ray blocks (8, 128)
+    dxr, dyr, dzr, tstr, t1r, hitr,  # raw ray blocks (8, 128)
     out_r, out_g, out_b, out_a, out_ovf,
     buf_a, buf_b,  # scratch (CHUNK+1, band_rows, D) uint8
     win2d,  # scratch ((CHUNK+1)*win_v + 8, 128) f32 — flattened windows
@@ -102,283 +107,416 @@ def _march_kernel(
     win_rows: int,
     band_rows: int,
     nb: int,
+    max_steps: int,
 ):
+    """One grid step = one 32x32 image tile, ALL six (axis, sign) ray
+    classes: a dynamic fori over classes derives each class's slab-space
+    params (u0/v0/du/dv/fm/k0) from the raw rays in-register and runs the
+    banded sweep only when the class has rays in this tile. Round 1 ran a
+    (6 x tiles) grid instead; ~5/6 of those steps were empty yet each paid
+    full grid-step overhead (input block DMAs + dispatch) — the bulk of the
+    measured 9.5 ms/frame skeleton floor at 1024^2."""
     win_v = min(win_rows, dims)
     win_u = min(128, dims)
-    gi = pl.program_id(0)
-    cbase = cbase_ref[gi]
-    u0, v0 = u0r[:], v0r[:]
-    du, dv = dur[:], dvr[:]
-    fm = fmr[:]
-    k0 = k0r[:]
-    nsteps = nr[:]
-    mask = maskr[:] > 0.5
-    any_ray = jnp.any(mask)
+    dx, dy, dz = dxr[:], dyr[:], dzr[:]
+    t_start, t1 = tstr[:], t1r[:]
+    hit = hitr[:] > 0.5
+    exs, eys, ezs = eye_ref[0], eye_ref[1], eye_ref[2]
 
     n_chunks = cdiv(dims + 1, CHUNK)
     big = jnp.int32(10 * dims)
-    k_last_per_ray = k0 + nsteps - 1
-    k_first = jnp.clip(jnp.min(jnp.where(mask, k0, big)), -1, dims - 1)
-    k_last = jnp.clip(jnp.max(jnp.where(mask, k_last_per_ray, -big)), -1, dims - 1)
-    # chunk c covers k in [8c-1, 8c+6]; clamped to the class's occupied range
-    c_first = jnp.clip((k_first + 1) // CHUNK, crange_ref[2 * gi], n_chunks - 1)
-    c_last = jnp.clip((k_last + 1) // CHUNK, 0, crange_ref[2 * gi + 1])
-    n_c = c_last - c_first + 1
-
-    zero = jnp.zeros_like(u0)
+    zero = jnp.zeros_like(dx)
     fdims = float(dims)
     nvb = dims // OCC_V
     nub = max(dims // OCC_U, 1)
 
-    def chunk_meta(c, a):
-        """Bounds + occupancy for chunk c given current opacities.
+    # per-tile ray quantities shared by every class
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    amax = jnp.maximum(adx, jnp.maximum(ady, adz))
+    dt = 1.0 / (fdims * amax)
+    m_axis = jnp.where(adx == amax, 0, jnp.where(ady == amax, 1, 2))
+    n_f = jnp.ceil((t1 - t_start) / dt)
+    n_f = jnp.clip(jnp.where(hit, n_f, 0.0), 0.0, float(max_steps))
+    nsteps = n_f.astype(jnp.int32)
 
-        Pure function of ray params, the occupancy table, and a — computed
-        once at DMA-start time; the resulting (want, band, window) scalars
-        ride the loop carry so starts and waits always agree.
-        """
-        k_lo = CHUNK * c - 1
-        k_hi = k_lo + CHUNK - 1
-        in_range = (c >= c_first) & (c <= c_last)
-        active_c = mask & (a < 0.95) & (k0 <= k_hi) & (k_last_per_ray >= k_lo)
-        anyact = jnp.any(active_c) & in_range
+    def class_probe(cls):
+        """Cheapest activity test for class cls: ~10 vector ops + 1 reduce.
+        Everything else (slab-space params, chunk ranges) is derived ONLY
+        for classes with rays — typically 1-2 of 6 per 32x32 tile."""
+        # scalar selects with VECTOR operands don't legalize in Mosaic
+        # (arith.select with i1 scalar + vector); use scalar-float masks
+        # (splat multiplies) instead
+        m = cls // 2
+        neg = (cls % 2) == 1
+        w0 = (m == 0).astype(jnp.float32)
+        w1 = (m == 1).astype(jnp.float32)
+        w2 = (m == 2).astype(jnp.float32)
+        d_m = w0 * dx + w1 * dy + w2 * dz
+        # neg -> d_m < 0; pos -> d_m >= 0 == ~(d_m < 0)
+        sign_ok = (d_m < 0) == neg
+        mask = hit & (m_axis == m) & sign_ok & (nsteps > 0)
+        return mask, d_m, (m, neg, w0, w1, w2)
 
-        j_lo = jnp.clip((k_lo - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
-        j_hi = jnp.clip((k_hi - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
-        u_a, u_b = u0 + j_lo * du, u0 + j_hi * du
-        v_a, v_b = v0 + j_lo * dv, v0 + j_hi * dv
-        u_lo = jnp.clip(jnp.floor(jnp.minimum(u_a, u_b)), 0.0, fdims - 1.0)
-        u_hi = jnp.clip(jnp.floor(jnp.maximum(u_a, u_b)) + 1.0, 0.0, fdims - 1.0)
-        v_lo = jnp.clip(jnp.floor(jnp.minimum(v_a, v_b)), 0.0, fdims - 1.0)
-        v_hi = jnp.clip(jnp.floor(jnp.maximum(v_a, v_b)) + 1.0, 0.0, fdims - 1.0)
-        u_base = jnp.min(jnp.where(active_c, u_lo, fdims)).astype(jnp.int32)
-        v_base = jnp.min(jnp.where(active_c, v_lo, fdims)).astype(jnp.int32)
-        u_max = jnp.max(jnp.where(active_c, u_hi, 0.0)).astype(jnp.int32)
-        v_max = jnp.max(jnp.where(active_c, v_hi, 0.0)).astype(jnp.int32)
+    def class_state(mask, d_m, meta):
+        """Slab-space ray params for one class — the XLA-side per-class
+        prep of round 1, now in-register (and only for active classes)."""
+        m, neg, w0, w1, w2 = meta
+        e_m = jnp.where(m == 0, exs, jnp.where(m == 1, eys, ezs))  # scalars
+        # (v-axis, u-axis) per m — see _AXES
+        d_u = w0 * dy + (w1 + w2) * dx
+        e_u = jnp.where(m == 0, eys, exs)
+        d_v = (w0 + w1) * dz + w2 * dy
+        e_v = jnp.where(m == 2, eys, ezs)
+        xm0 = (e_m + t_start * d_m) * fdims - 0.5
+        k0f = jnp.floor(xm0)
+        fm = xm0 - k0f
+        u0 = (e_u + t_start * d_u) * fdims - 0.5
+        v0 = (e_v + t_start * d_v) * fdims - 0.5
+        du = d_u * dt * fdims
+        dv = d_v * dt * fdims
+        # flipped layout for negative classes: k0' = D-2-k0, fm' = 1-fm
+        wn = neg.astype(jnp.float32)
+        k0c = k0f + wn * ((fdims - 2.0) - 2.0 * k0f)
+        fmc = fm + wn * (1.0 - 2.0 * fm)
+        return u0, v0, du, dv, fmc, k0c.astype(jnp.int32)
 
-        # occupancy over the window's (v, u) bands (table is global over
-        # the 6 classes; cbase is in band units -> recover the class offset)
-        cc = jnp.clip(c, 0, n_chunks - 1)
-        cls = cbase // (n_chunks * nb)
-        cc_tab = (cls * n_chunks + cc) * nvb * nub
-        vb0 = v_base // OCC_V
-        vb_hi = v_max // OCC_V
-        ub0 = u_base // OCC_U
-        ub_hi = u_max // OCC_U
-        occ = jnp.int32(0)
-        for q in range(win_v // OCC_V + 1):
-            vb = jnp.clip(vb0 + q, 0, nvb - 1)
-            v_in = vb <= vb_hi
-            for qu in range(min(128 // OCC_U + 1, nub)):
-                ub = jnp.clip(ub0 + qu, 0, nub - 1)
-                occ = occ | jnp.where(
-                    v_in & (ub <= ub_hi), occ_ref[(cc_tab + vb * nub) + ub], 0
-                )
+    def march_class(cls, mask, u0, v0, du, dv, fm, k0):
+        """Run the banded occupancy-gated sweep for one ray class (callers
+        guarantee the class has at least one ray)."""
+        cbase = cls * (n_chunks * nb)
+        k_last_per_ray = k0 + nsteps - 1
+        k_first = jnp.clip(jnp.min(jnp.where(mask, k0, big)), -1, dims - 1)
+        k_last = jnp.clip(
+            jnp.max(jnp.where(mask, k_last_per_ray, -big)), -1, dims - 1
+        )
+        # chunk c covers k in [8c-1, 8c+6]; clamped to the class's occupied
+        # range
+        c_first = jnp.clip((k_first + 1) // CHUNK, crange_ref[2 * cls],
+                           n_chunks - 1)
+        c_last = jnp.clip((k_last + 1) // CHUNK, 0, crange_ref[2 * cls + 1])
+        n_c = c_last - c_first + 1
 
-        v_b2 = (v_base // 8) * 8  # int8 sublane alignment
-        step_ovf = ((u_max - u_base) > win_u - 1) | ((v_max - v_b2) > win_v - 1)
-        u_b2 = jnp.clip(u_base, 0, dims - win_u)
-        v_b2 = jnp.clip(v_b2, 0, dims - win_v)
-        n_rows = jnp.clip(v_max - v_b2 + 1, 0, win_v)
-        band = jnp.clip(v_b2 // BAND_STRIDE, 0, nb - 1)
-        want = anyact & (occ > 0)
-        return (want, cc, band, u_b2, v_b2, n_rows, step_ovf & anyact)
+        # ---- reduce-free window envelope ---------------------------------
+        # u, v are LINEAR in the slab index: u(k) = (u0 - (k0+1) du) +
+        # (k+1) du with k+1 >= 0 always (k >= -1), so a per-class linear
+        # envelope — TEN reduces once per class — bounds every chunk's and
+        # every slab's footprint in pure scalar math. Round 1 re-reduced 5
+        # vector min/maxes per CHUNK (~160k reduces/frame at 1024^2), each
+        # a vector->scalar sync on the DMA-index critical path.
+        kp = k0.astype(jnp.float32) + 1.0
+        pv = v0 - kp * dv
+        inf = jnp.float32(1e9)
 
-    def dma_band(buf, sem, meta):
-        _, cc, band, _, _, _, _ = meta
-        return pltpu.make_async_copy(vol_hbm.at[cbase + cc * nb + band], buf, sem)
+        def _mn(x):
+            return jnp.min(jnp.where(mask, x, inf))
 
-    def process_chunk(buf, c, meta, state):
-        """March the 8 slabs k = 8c-1 .. 8c+6 from one resident band."""
-        r, g, b, a, ovf = state
-        want, _, band, u_b2, v_b2, n_rows, step_ovf = meta
-        k_lo = CHUNK * c - 1
-        ovf = ovf | step_ovf
+        def _mx(x):
+            return jnp.max(jnp.where(mask, x, -inf))
 
-        def occupied(r, g, b, a):
-            v_loc = pl.multiple_of(v_b2 - band * BAND_STRIDE, 8)
-            ub_f = u_b2.astype(jnp.float32)
-            vb_f = v_b2.astype(jnp.float32)
+        av_min, av_max = _mn(pv), _mx(pv)
+        bv_min, bv_max = _mn(dv), _mx(dv)
 
-            # dequantize + roll all CHUNK+1 slab windows once
-            for src in range(CHUNK + 1):
-                raw = buf[src, pl.ds(v_loc, win_v), :]
-                w = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-                rolled = pltpu.roll(w, -u_b2, 1)[:, :win_u]
-                if win_u < 128:
-                    rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
-                win2d[pl.ds(src * win_v, win_v), :] = rolled
+        def chunk_meta(c, a):
+            """Bounds + occupancy for chunk c given current opacities.
 
-            def slab(s_in, st):
-                r, g, b, a = st
-                k = k_lo + s_in
-                j = (k - k0).astype(jnp.float32)
-                active = mask & (j >= 0) & (j < nsteps) & (a < 0.95)
-                u = u0 + j * du
-                v = v0 + j * dv
-                fu0 = jnp.floor(u)
-                fv0 = jnp.floor(v)
-                iu0 = jnp.clip(fu0, 0.0, fdims - 1.0)
-                iu1 = jnp.clip(fu0 + 1.0, 0.0, fdims - 1.0)
-                iv0 = jnp.clip(fv0, 0.0, fdims - 1.0)
-                iv1 = jnp.clip(fv0 + 1.0, 0.0, fdims - 1.0)
-                fu = u - fu0
-                fv = v - fv0
-                iu0l = jnp.clip((iu0 - ub_f).astype(jnp.int32), 0, win_u - 1)
-                iu1l = jnp.clip((iu1 - ub_f).astype(jnp.int32), 0, win_u - 1)
-                iv0l = (iv0 - vb_f).astype(jnp.int32)
-                iv1l = (iv1 - vb_f).astype(jnp.int32)
-                base_a = s_in * win_v
-                base_b = base_a + win_v
+            Exact per-chunk vector reduces: measured TIGHTER than the pure
+            scalar envelope (which ignores per-ray j-clamping and opacity
+            exits and so widened windows enough to lose more in scans/DMA
+            than the removed reduces saved: 35.5 vs 37.2 Mrays/s). The
+            envelope still powers the per-SLAB scan ranges below. Computed
+            once at DMA-start time; the resulting (want, band, window)
+            scalars ride the loop carry so starts and waits always agree."""
+            k_lo = CHUNK * c - 1
+            k_hi = k_lo + CHUNK - 1
+            in_range = (c >= c_first) & (c <= c_last)
+            active_c = mask & (a < 0.95) & (k0 <= k_hi) & (k_last_per_ray >= k_lo)
+            anyact = jnp.any(active_c) & in_range
 
-                def row_scan(ci, taps):
-                    # unrolled x16: dynamic-loop iterations cost ~1us each
-                    # on this target; over-scanning is safe (rows past the
-                    # span never match a tap index; scratch padded +32 rows).
-                    # x16 beat x4/x8 and a fully-static 64-row scan in
-                    # measurement (28.4 / 29.5 / 35.1 / 37.9 Mrays/s)
-                    for q in range(16):
-                        cc_ = ci * 16 + q
-                        a00, a01, a10, a11 = taps
-                        rowa = jnp.broadcast_to(
-                            win2d[pl.ds(base_a + cc_, 1), :], u0.shape)
-                        rowb = jnp.broadcast_to(
-                            win2d[pl.ds(base_b + cc_, 1), :], u0.shape)
-                        ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
-                        ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
-                        gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
-                        gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
-                        t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused per tap
-                        t1 = ga1 + (gb1 - ga1) * fm
-                        m0 = iv0l == cc_
-                        m1 = iv1l == cc_
-                        taps = (
-                            jnp.where(m0, t0, a00),
-                            jnp.where(m0, t1, a01),
-                            jnp.where(m1, t0, a10),
-                            jnp.where(m1, t1, a11),
+            j_lo = jnp.clip((k_lo - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
+            j_hi = jnp.clip((k_hi - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
+            u_a, u_b = u0 + j_lo * du, u0 + j_hi * du
+            v_a, v_b = v0 + j_lo * dv, v0 + j_hi * dv
+            u_lo = jnp.clip(jnp.floor(jnp.minimum(u_a, u_b)), 0.0, fdims - 1.0)
+            u_hi = jnp.clip(jnp.floor(jnp.maximum(u_a, u_b)) + 1.0, 0.0,
+                            fdims - 1.0)
+            v_lo = jnp.clip(jnp.floor(jnp.minimum(v_a, v_b)), 0.0, fdims - 1.0)
+            v_hi = jnp.clip(jnp.floor(jnp.maximum(v_a, v_b)) + 1.0, 0.0,
+                            fdims - 1.0)
+            u_base = jnp.min(jnp.where(active_c, u_lo, fdims)).astype(jnp.int32)
+            v_base = jnp.min(jnp.where(active_c, v_lo, fdims)).astype(jnp.int32)
+            u_max = jnp.max(jnp.where(active_c, u_hi, 0.0)).astype(jnp.int32)
+            v_max = jnp.max(jnp.where(active_c, v_hi, 0.0)).astype(jnp.int32)
+
+            # occupancy over the window's (v, u) bands
+            cc = jnp.clip(c, 0, n_chunks - 1)
+            cc_tab = (cls * n_chunks + cc) * nvb * nub
+            vb0 = v_base // OCC_V
+            vb_hi = v_max // OCC_V
+            ub0 = u_base // OCC_U
+            ub_hi = u_max // OCC_U
+            occ = jnp.int32(0)
+            for q in range(win_v // OCC_V + 1):
+                vb = jnp.clip(vb0 + q, 0, nvb - 1)
+                v_in = vb <= vb_hi
+                for qu in range(min(128 // OCC_U + 1, nub)):
+                    ub = jnp.clip(ub0 + qu, 0, nub - 1)
+                    occ = occ | jnp.where(
+                        v_in & (ub <= ub_hi), occ_ref[(cc_tab + vb * nub) + ub], 0
+                    )
+
+            v_b2 = (v_base // 8) * 8  # int8 sublane alignment
+            step_ovf = ((u_max - u_base) > win_u - 1) | ((v_max - v_b2) > win_v - 1)
+            u_b2 = jnp.clip(u_base, 0, dims - win_u)
+            v_b2 = jnp.clip(v_b2, 0, dims - win_v)
+            n_rows = jnp.clip(v_max - v_b2 + 1, 0, win_v)
+            band = jnp.clip(v_b2 // BAND_STRIDE, 0, nb - 1)
+            want = anyact & (occ > 0)
+            return (want, cc, band, u_b2, v_b2, n_rows, step_ovf & anyact)
+
+        def dma_band(buf, sem, meta):
+            _, cc, band, _, _, _, _ = meta
+            return pltpu.make_async_copy(
+                vol_hbm.at[cbase + cc * nb + band], buf, sem
+            )
+
+        def process_chunk(buf, c, meta, state):
+            """March the 8 slabs k = 8c-1 .. 8c+6 from one resident band."""
+            r, g, b, a, ovf = state
+            want, _, band, u_b2, v_b2, n_rows, step_ovf = meta
+            k_lo = CHUNK * c - 1
+            ovf = ovf | step_ovf
+
+            def occupied(r, g, b, a):
+                v_loc = pl.multiple_of(v_b2 - band * BAND_STRIDE, 8)
+                ub_f = u_b2.astype(jnp.float32)
+                vb_f = v_b2.astype(jnp.float32)
+
+                # dequantize + roll the slab windows, in row groups so rows
+                # past n_rows (never read by the scan) skip conversion
+                grp_rows = 16 if win_v % 16 == 0 else 8
+                n_groups = 0 if _ABLATE >= 2 else win_v // grp_rows
+                for src in range(CHUNK + 1):
+                    for grp in range(n_groups):
+                        @pl.when((grp == 0) | (grp * grp_rows < n_rows))
+                        def _(src=src, grp=grp):
+                            raw = buf[src, pl.ds(v_loc + grp * grp_rows, grp_rows), :]
+                            w = raw.astype(jnp.int32).astype(jnp.float32) * (
+                                1.0 / 255.0
+                            )
+                            rolled = pltpu.roll(w, -u_b2, 1)[:, :win_u]
+                            if win_u < 128:
+                                rolled = jnp.pad(
+                                    rolled, ((0, 0), (0, 128 - win_u))
+                                )
+                            win2d[
+                                pl.ds(src * win_v + grp * grp_rows, grp_rows), :
+                            ] = rolled
+
+                def slab(s_in, st):
+                    r, g, b, a = st
+                    k = k_lo + s_in
+                    j = (k - k0).astype(jnp.float32)
+                    active = mask & (j >= 0) & (j < nsteps) & (a < 0.95)
+
+                    # per-slab scan range from the class envelope (scalar):
+                    # this slab's taps lie in v(k) in [av+kp*bv] +- margin,
+                    # typically ~1/3 of the whole-chunk n_rows span
+                    kpf = (k + 1).astype(jnp.float32)
+                    sv_lo = av_min + kpf * bv_min
+                    sv_hi = av_max + kpf * bv_max
+                    lo_i = jnp.clip(jnp.floor(sv_lo) - 1.0, 0.0, fdims - 1.0)
+                    hi_i = jnp.clip(jnp.floor(sv_hi) + 2.0, 0.0, fdims - 1.0)
+                    lo_rel = jnp.clip(lo_i.astype(jnp.int32) - v_b2, 0,
+                                      win_v - 1)
+                    hi_rel = jnp.clip(hi_i.astype(jnp.int32) - v_b2, 0,
+                                      win_v - 1)
+                    g_lo = lo_rel // 16
+                    g_hi = hi_rel // 16 + 1
+                    u = u0 + j * du
+                    v = v0 + j * dv
+                    fu0 = jnp.floor(u)
+                    fv0 = jnp.floor(v)
+                    iu0 = jnp.clip(fu0, 0.0, fdims - 1.0)
+                    iu1 = jnp.clip(fu0 + 1.0, 0.0, fdims - 1.0)
+                    iv0 = jnp.clip(fv0, 0.0, fdims - 1.0)
+                    iv1 = jnp.clip(fv0 + 1.0, 0.0, fdims - 1.0)
+                    fu = u - fu0
+                    fv = v - fv0
+                    iu0l = jnp.clip((iu0 - ub_f).astype(jnp.int32), 0, win_u - 1)
+                    iu1l = jnp.clip((iu1 - ub_f).astype(jnp.int32), 0, win_u - 1)
+                    iv0l = (iv0 - vb_f).astype(jnp.int32)
+                    iv1l = (iv1 - vb_f).astype(jnp.int32)
+                    base_a = s_in * win_v
+                    base_b = base_a + win_v
+
+                    def row_scan(ci, taps):
+                        # unrolled x16: dynamic-loop iterations cost ~1us
+                        # each on this target; over-scanning is safe (rows
+                        # past the span never match a tap index; scratch
+                        # padded +32 rows). x16 beat x4/x8 and a fully-static
+                        # 64-row scan (28.4 / 29.5 / 35.1 / 37.9 Mrays/s)
+                        for q in range(16):
+                            cc_ = ci * 16 + q
+                            a00, a01, a10, a11 = taps
+                            rowa = jnp.broadcast_to(
+                                win2d[pl.ds(base_a + cc_, 1), :], u0.shape)
+                            rowb = jnp.broadcast_to(
+                                win2d[pl.ds(base_b + cc_, 1), :], u0.shape)
+                            ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
+                            ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
+                            gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
+                            gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
+                            t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused/tap
+                            t1 = ga1 + (gb1 - ga1) * fm
+                            m0 = iv0l == cc_
+                            m1 = iv1l == cc_
+                            taps = (
+                                jnp.where(m0, t0, a00),
+                                jnp.where(m0, t1, a01),
+                                jnp.where(m1, t0, a10),
+                                jnp.where(m1, t1, a11),
+                            )
+                        return taps
+
+                    if _ABLATE >= 1:
+                        t00 = t01 = t10 = t11 = fu * 0.001
+                    else:
+                        t00, t01, t10, t11 = lax.fori_loop(
+                            g_lo, g_hi, row_scan, (zero, zero, zero, zero)
                         )
-                    return taps
+                    c0 = t00 + (t01 - t00) * fu
+                    c1 = t10 + (t11 - t10) * fu
+                    samp = c0 + (c1 - c0) * fv
 
-                t00, t01, t10, t11 = lax.fori_loop(
-                    0, (n_rows + 15) // 16, row_scan, (zero, zero, zero, zero)
-                )
-                c0 = t00 + (t01 - t00) * fu
-                c1 = t10 + (t11 - t10) * fu
-                samp = c0 + (c1 - c0) * fv
+                    # transfer (raycast_naive.wgsl:101-108)
+                    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
+                    cr, cg, cb = _vertigo_soa(tv)
+                    one_m_a = 1.0 - a
+                    w = one_m_a * tv
+                    return (
+                        jnp.where(active, r + w * cr, r),
+                        jnp.where(active, g + w * cg, g),
+                        jnp.where(active, b + w * cb, b),
+                        jnp.where(active, a + one_m_a * tv, a),
+                    )
 
-                # transfer (raycast_naive.wgsl:101-108)
-                tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
-                cr, cg, cb = _vertigo_soa(tv)
-                one_m_a = 1.0 - a
-                w = one_m_a * tv
-                return (
-                    jnp.where(active, r + w * cr, r),
-                    jnp.where(active, g + w * cg, g),
-                    jnp.where(active, b + w * cb, b),
-                    jnp.where(active, a + one_m_a * tv, a),
-                )
+                return lax.fori_loop(0, CHUNK, slab, (r, g, b, a))
 
-            return lax.fori_loop(0, CHUNK, slab, (r, g, b, a))
+            if _ABLATE >= 3:
+                return r + 0.0001, g, b, a + 0.001, ovf
+            r, g, b, a = lax.cond(
+                want, occupied, lambda r, g, b, a: (r, g, b, a), r, g, b, a
+            )
+            return r, g, b, a, ovf
 
-        r, g, b, a = lax.cond(want, occupied, lambda r, g, b, a: (r, g, b, a),
-                              r, g, b, a)
-        return r, g, b, a, ovf
+        def alive(c_next, a):
+            k_cursor = CHUNK * c_next - 1
+            return jnp.any(mask & (a < 0.95) & (k_cursor <= k_last_per_ray))
 
-    def alive(c_next, a):
-        k_cursor = CHUNK * c_next - 1
-        return jnp.any(mask & (a < 0.95) & (k_cursor <= k_last_per_ray))
+        def body(carry):
+            i, c, ma, mb, r, g, b, a, ovf = carry
 
-    # ---- sweep: 2 chunks per iteration, started-flag DMA pipeline --------
-    a0 = zero
-    meta0 = chunk_meta(c_first, a0)
-    meta0 = (meta0[0] & (n_c > 0),) + meta0[1:]
-    meta1 = chunk_meta(c_first + 1, a0)
-    meta1 = (meta1[0] & (n_c > 1),) + meta1[1:]
+            # stage A: chunk c from buf_a
+            @pl.when(ma[0])
+            def _():
+                dma_band(buf_a, sem_a, ma).wait()
 
-    @pl.when(meta0[0])
-    def _():
-        dma_band(buf_a, sem_a, meta0).start()
+            r, g, b, a, ovf = process_chunk(buf_a, c, ma, (r, g, b, a, ovf))
 
-    @pl.when(meta1[0])
-    def _():
-        dma_band(buf_b, sem_b, meta1).start()
+            # prefetch chunk c+2 into buf_a (A is free; overlaps stage B)
+            m2 = chunk_meta(c + 2, a)
+            m2 = (m2[0] & (i + 2 < n_c),) + m2[1:]
 
-    def body(carry):
-        i, c, ma, mb, r, g, b, a, ovf = carry
+            @pl.when(m2[0])
+            def _():
+                dma_band(buf_a, sem_a, m2).start()
 
-        # stage A: chunk c from buf_a
-        @pl.when(ma[0])
-        def _():
-            dma_band(buf_a, sem_a, ma).wait()
+            # stage B: chunk c+1 from buf_b
+            @pl.when(mb[0])
+            def _():
+                dma_band(buf_b, sem_b, mb).wait()
 
-        r, g, b, a, ovf = process_chunk(buf_a, c, ma, (r, g, b, a, ovf))
+            r, g, b, a, ovf = process_chunk(buf_b, c + 1, mb, (r, g, b, a, ovf))
 
-        # prefetch chunk c+2 into buf_a (A is free; overlaps stage B)
-        m2 = chunk_meta(c + 2, a)
-        m2 = (m2[0] & (i + 2 < n_c),) + m2[1:]
+            # prefetch chunk c+3 into buf_b
+            m3 = chunk_meta(c + 3, a)
+            m3 = (m3[0] & (i + 3 < n_c),) + m3[1:]
 
-        @pl.when(m2[0])
-        def _():
-            dma_band(buf_a, sem_a, m2).start()
+            @pl.when(m3[0])
+            def _():
+                dma_band(buf_b, sem_b, m3).start()
 
-        # stage B: chunk c+1 from buf_b
-        @pl.when(mb[0])
-        def _():
-            dma_band(buf_b, sem_b, mb).wait()
+            return i + 2, c + 2, m2, m3, r, g, b, a, ovf
 
-        r, g, b, a, ovf = process_chunk(buf_b, c + 1, mb, (r, g, b, a, ovf))
+        def cond(carry):
+            i, c, ma, mb, r, g, b, a, ovf = carry
+            return (i < n_c) & alive(c, a)
 
-        # prefetch chunk c+3 into buf_b
-        m3 = chunk_meta(c + 3, a)
-        m3 = (m3[0] & (i + 3 < n_c),) + m3[1:]
+        def sweep(_):
+            # ---- 2 chunks per iteration, started-flag DMA pipeline; the
+            # prologue lives INSIDE this branch so inactive classes pay
+            # nothing (every start drains in run(): the while carries the
+            # in-flight metas out and the epilogue waits on them) ----------
+            meta0 = chunk_meta(c_first, zero)
+            meta0 = (meta0[0] & (n_c > 0),) + meta0[1:]
+            meta1 = chunk_meta(c_first + 1, zero)
+            meta1 = (meta1[0] & (n_c > 1),) + meta1[1:]
 
-        @pl.when(m3[0])
-        def _():
-            dma_band(buf_b, sem_b, m3).start()
+            @pl.when(meta0[0])
+            def _():
+                dma_band(buf_a, sem_a, meta0).start()
 
-        return i + 2, c + 2, m2, m3, r, g, b, a, ovf
+            @pl.when(meta1[0])
+            def _():
+                dma_band(buf_b, sem_b, meta1).start()
 
-    def cond(carry):
-        i, c, ma, mb, r, g, b, a, ovf = carry
-        return (i < n_c) & alive(c, a)
+            init = (jnp.int32(0), c_first, meta0, meta1, zero, zero, zero,
+                    zero, jnp.bool_(False))
+            final = lax.while_loop(cond, body, init)
+            _, _, ma_f, mb_f, r, g, b, a, ovf = final
 
-    init = (jnp.int32(0), c_first, meta0, meta1, zero, zero, zero, zero,
-            jnp.bool_(False))
+            # drain DMAs started for chunks the early exit never processed
+            @pl.when(ma_f[0])
+            def _():
+                dma_band(buf_a, sem_a, ma_f).wait()
 
-    def run(init):
-        final = lax.while_loop(cond, body, init)
-        _, _, ma_f, mb_f, r, g, b, a, ovf = final
+            @pl.when(mb_f[0])
+            def _():
+                dma_band(buf_b, sem_b, mb_f).wait()
 
-        # drain DMAs started for chunks the early exit never processed
-        @pl.when(ma_f[0])
-        def _():
-            dma_band(buf_a, sem_a, ma_f).wait()
+            return r, g, b, a, ovf
 
-        @pl.when(mb_f[0])
-        def _():
-            dma_band(buf_b, sem_b, mb_f).wait()
+        def no_sweep(_):
+            return zero, zero, zero, zero, jnp.bool_(False)
 
-        return r, g, b, a, ovf
+        return lax.cond(n_c > 0, sweep, no_sweep, 0)
 
-    def no_run(init):
-        # prologue is guarded by the same flags: drain if started
-        @pl.when(meta0[0])
-        def _():
-            dma_band(buf_a, sem_a, meta0).wait()
+    def class_body(cls, carry):
+        mask, d_m, meta = class_probe(cls)
 
-        @pl.when(meta1[0])
-        def _():
-            dma_band(buf_b, sem_b, meta1).wait()
+        def active_case(carry):
+            acc_r, acc_g, acc_b, acc_a, acc_ovf = carry
+            u0, v0, du, dv, fm, k0 = class_state(mask, d_m, meta)
+            r, g, b, a, ovf = march_class(cls, mask, u0, v0, du, dv, fm, k0)
+            # every ray belongs to exactly one class: merge by mask
+            return (
+                jnp.where(mask, r, acc_r),
+                jnp.where(mask, g, acc_g),
+                jnp.where(mask, b, acc_b),
+                jnp.where(mask, a, acc_a),
+                acc_ovf | ovf,
+            )
 
-        return zero, zero, zero, zero, jnp.bool_(False)
+        return lax.cond(jnp.any(mask), active_case, lambda c: c, carry)
 
-    r, g, b, a, ovf = lax.cond(any_ray & (n_c > 0), run, no_run, init)
+    r, g, b, a, ovf = lax.fori_loop(
+        0, 6, class_body, (zero, zero, zero, zero, jnp.bool_(False))
+    )
 
-    out_r[:] = jnp.where(mask, r, 0.0)
-    out_g[:] = jnp.where(mask, g, 0.0)
-    out_b[:] = jnp.where(mask, b, 0.0)
-    out_a[:] = jnp.where(mask, a, 0.0)
+    out_r[:] = r
+    out_g[:] = g
+    out_b[:] = b
+    out_a[:] = a
     out_ovf[:] = jnp.broadcast_to(ovf.astype(jnp.float32), out_ovf.shape)
 
 
@@ -486,15 +624,6 @@ def _render_bonsai_pallas(
     hit = t0 <= t1
     t_start = jnp.maximum(t0, 0.0)
 
-    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    amax = jnp.maximum(adx, jnp.maximum(ady, adz))
-    dt = 1.0 / (dims * amax)
-    m_axis = jnp.where(adx == amax, 0, jnp.where(ady == amax, 1, 2))
-    n_f = jnp.ceil((t1 - t_start) / dt)
-    n_f = jnp.clip(jnp.where(hit, n_f, 0.0), 0.0, float(max_steps))
-
-    comp = {0: (ex, dx), 1: (ey, dy), 2: (ez, dz)}
-
     ph = cdiv(height, TILE) * TILE
     pw = cdiv(width, TILE) * TILE
 
@@ -502,61 +631,23 @@ def _render_bonsai_pallas(
         return _pack_tiles(jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw)
 
     n_tiles = (ph // TILE) * (pw // TILE)
-    n_chunks = cdiv(dims + 1, CHUNK)
 
-    per_class = {k: [] for k in ("u0", "v0", "du", "dv", "fm", "k0", "n", "mask")}
-    cls_idx = 0
-    cbases = []
-    for m in range(3):
-        e_m, d_m = comp[m]
-        va, ua = _AXES[m]
-        e_u, d_u = comp[ua]
-        e_v, d_v = comp[va]
-        p0m = e_m + t_start * d_m
-        p0u = e_u + t_start * d_u
-        p0v = e_v + t_start * d_v
-        xm0 = p0m * dims - 0.5
-        k0f = jnp.floor(xm0)
-        fm = xm0 - k0f
-        u0 = p0u * dims - 0.5
-        v0 = p0v * dims - 0.5
-        du = d_u * dt * dims
-        dv = d_v * dt * dims
-        for s_sign in (1, -1):
-            mask = (
-                hit
-                & (m_axis == m)
-                & ((d_m >= 0) if s_sign > 0 else (d_m < 0))
-                & (n_f > 0)
-            ).astype(jnp.float32)
-            if s_sign > 0:
-                k0c, fmc = k0f, fm
-            else:
-                # flipped layout: taps reverse -> k0' = D-2-k0, fm' = 1-fm
-                k0c, fmc = (dims - 2) - k0f, 1.0 - fm
-            per_class["u0"].append(pack(u0))
-            per_class["v0"].append(pack(v0))
-            per_class["du"].append(pack(du))
-            per_class["dv"].append(pack(dv))
-            per_class["fm"].append(pack(fmc))
-            per_class["k0"].append(pack(k0c).astype(jnp.int32))
-            per_class["n"].append(pack(n_f).astype(jnp.int32))
-            per_class["mask"].append(pack(mask))
-            cbases.append(jnp.full((n_tiles,), cls_idx * n_chunks * nb, jnp.int32))
-            cls_idx += 1
+    # raw per-ray data only; the kernel derives each class's slab-space
+    # params in-register (one grid step per tile handles all 6 classes)
+    ins = [pack(x) for x in (dx, dy, dz, t_start, t1, hit.astype(jnp.float32))]
+    eye_vec = jnp.stack([eye[0], eye[1], eye[2]]).astype(jnp.float32)
 
-    grid = (6 * n_tiles,)
-    ins = [jnp.concatenate(per_class[k], axis=0) for k in
-           ("u0", "v0", "du", "dv", "fm", "k0", "n", "mask")]
-    cbase = jnp.concatenate(cbases)
-
+    grid = (n_tiles,)
     block = pl.BlockSpec(
-        (8, 128), lambda i, _cb, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
+        (8, 128), lambda i, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 8,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [block] * 6,
         out_specs=[block] * 5,
         scratch_shapes=[
             pltpu.VMEM((CHUNK + 1, band_rows, dims), jnp.uint8),
@@ -570,16 +661,14 @@ def _render_bonsai_pallas(
     )
     outs_call = pl.pallas_call(
         partial(_march_kernel, dims=dims, win_rows=win_rows,
-                band_rows=band_rows, nb=nb),
+                band_rows=band_rows, nb=nb, max_steps=max_steps),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((6 * n_tiles * 8, 128), jnp.float32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)] * 5,
     )
-    crange_grid = jnp.repeat(cranges, n_tiles, axis=0).reshape(-1)
-    outs = outs_call(cbase, crange_grid, occ, vol_chunks, *ins)
+    outs = outs_call(cranges.reshape(-1), occ, eye_vec, vol_chunks, *ins)
 
-    planes = [o.reshape(6, n_tiles * 8, 128).sum(0) for o in outs[:4]]
     n_ovf = jnp.sum(outs[4]).astype(jnp.int32)
-    planes = [_unpack_tiles(p, ph, pw)[:height, :width] for p in planes]
+    planes = [_unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:4]]
     rgb = jnp.stack(planes[:3], axis=-1)
     if srgb:
         rgb = linear_to_srgb(rgb)

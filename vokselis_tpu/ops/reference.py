@@ -79,6 +79,22 @@ def render_bonsai(
     rasterization-coverage emulation is needed.
     """
     eye, dirs = geometry.rays_fragment(camera_uniform, width, height)
+    return render_bonsai_rays(vol, eye, dirs, max_steps=max_steps,
+                              dt_scale=dt_scale, srgb=srgb)
+
+
+def render_bonsai_rays(
+    vol,
+    eye,
+    dirs,
+    max_steps: int = MAX_STEPS_BONSAI,
+    dt_scale: float = 1.0,
+    srgb: bool = True,
+):
+    """March an arbitrary (H, W, 3) ray set with the bonsai semantics —
+    the single implementation shared by :func:`render_bonsai` and the
+    row-sharded multi-chip path (each chip marches its band of rays)."""
+    height, width = dirs.shape[:2]
     npix = width * height
     d = dirs.reshape(npix, 3)
     eye_b = jnp.broadcast_to(eye, (npix, 3))

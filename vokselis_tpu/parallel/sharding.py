@@ -6,8 +6,8 @@ constructs are workgroup grids and the framebuffer tile decomposition
 
 - BASELINE.json config 5 (batched 64-view rendering) -> data parallelism
   over a 'views' mesh axis via shard_map: each chip renders its views with
-  the unchanged single-chip kernel; an optional all_gather assembles frames
-  on every chip over ICI;
+  the unchanged single-chip renderer; an optional all_gather assembles
+  frames on every chip over ICI;
 - image-space tile sharding (the 'tile mode' ancestor) -> splitting frame
   ROWS over a 'tiles' axis — context/sequence-parallel analog: rays are
   independent, so no halo exchange is needed; the gather of tiles is the
@@ -16,6 +16,12 @@ constructs are workgroup grids and the framebuffer tile decomposition
   halo exchange — not needed for any reference config (256^3 = 16 MiB),
   left for the brick-cache design.
 
+Renderers are passed as ``(render, pack)`` pairs — the functional API of
+:func:`vokselis_tpu.ops.pallas.march_bonsai.build_renderer` — and the pack
+(volume layouts) is threaded through shard_map as a REPLICATED argument, so
+the exact same code path drives the fused Pallas kernel on TPU slices and
+the jnp oracle on CPU meshes (:func:`build_default_renderer` picks).
+
 Everything here works on the 8-device virtual CPU mesh used by tests
 (XLA_FLAGS=--xla_force_host_platform_device_count=8) and on real TPU slices.
 """
@@ -23,7 +29,6 @@ Everything here works on the 8-device virtual CPU mesh used by tests
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -58,51 +63,71 @@ def orbit_camera_batch(n_views: int, target=(0.5, 0.5, 0.5), zoom=1.0,
     return jax.tree.map(lambda *xs: jnp.stack(xs), *uniforms)
 
 
-def _render_one(vol, cam: CameraUniform, width: int, height: int, max_steps: int):
-    from vokselis_tpu.ops.reference import render_bonsai
+def build_default_renderer(vol_u8, force_oracle: bool | None = None):
+    """Backend-appropriate ``(render, pack)`` pair with the functional
+    signature ``render(pack, camera_uniform, width, height, max_steps)``:
+    the fused Pallas slab-march on TPU, the jnp oracle elsewhere (the
+    oracle IS the correctness spec; the kernel is parity-tested against it).
+    """
+    use_oracle = (
+        force_oracle
+        if force_oracle is not None
+        else jax.default_backend() != "tpu"
+    )
+    if not use_oracle:
+        from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
 
-    return render_bonsai(vol, cam, width=width, height=height, max_steps=max_steps)
+        return build_renderer(np.asarray(vol_u8))
+
+    from vokselis_tpu.ops.reference import MAX_STEPS_BONSAI, render_bonsai
+
+    pack = (jnp.asarray(vol_u8),)
+
+    def render(pk, cam, width, height, max_steps=MAX_STEPS_BONSAI, srgb=True):
+        return render_bonsai(pk[0], cam, width=width, height=height,
+                             max_steps=max_steps, srgb=srgb)
+
+    return render, pack
 
 
 def render_views_sharded(
     mesh: Mesh,
-    vol,
+    render,
+    pack,
     cams: CameraUniform,  # leading (n_views,) batch axis
     width: int,
     height: int,
     max_steps: int = 64,
     gather: bool = False,
-    renderer=None,
 ):
     """Render a batch of views, sharded over the mesh's 'views' axis.
 
-    The volume is replicated (16 MiB); cameras are split. With
-    ``gather=True`` every chip receives all frames via ICI all_gather
-    (SURVEY.md §2d); otherwise the output stays view-sharded for per-shard
-    host egress (DCN/device_get path).
+    ``(render, pack)``: a functional renderer pair (build_renderer /
+    build_default_renderer). The pack is replicated (256^3 layouts are
+    ~100 MiB — far under chip HBM); cameras are split. With ``gather=True``
+    every chip receives all frames via ICI all_gather (SURVEY.md §2d);
+    otherwise the output stays view-sharded for per-shard host egress.
     """
-    render_one = renderer or partial(_render_one, max_steps=max_steps)
 
-    def local_step(vol_l, cams_l):
+    def local_step(pack_l, cams_l):
         imgs = jax.vmap(
-            lambda c: render_one(vol_l, c, width=width, height=height)
-            if renderer
-            else _render_one(vol_l, c, width, height, max_steps)
+            lambda c: render(pack_l, c, width, height, max_steps)
         )(cams_l)
         if gather:
             imgs = jax.lax.all_gather(imgs, "views", axis=0, tiled=True)
         return imgs
 
+    pack_spec = jax.tree.map(lambda _: P(), pack)
     cam_spec = jax.tree.map(lambda _: P("views"), cams)
     out_spec = P() if gather else P("views")
     fn = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), cam_spec),
+        in_specs=(pack_spec, cam_spec),
         out_specs=out_spec,
         check_rep=False,
     )
-    return jax.jit(fn)(vol, cams)
+    return jax.jit(fn)(pack, cams)
 
 
 def render_frame_tiled(
@@ -115,11 +140,12 @@ def render_frame_tiled(
 ):
     """Render ONE frame with its rows sharded over the 'tiles' axis — the
     multi-chip descendant of the xor demo's 256^2-tile dispatch
-    (examples/xor/main.rs:235-254). Rays are independent: each chip renders
-    its row band by slicing the full-res ray set; the final all_gather
-    assembles the frame on all chips."""
+    (examples/xor/main.rs:235-254). Rays are independent: each chip marches
+    its row band via the oracle's shared ray-set entry point
+    (ops.reference.render_bonsai_rays — ONE implementation of the march
+    semantics, no hand copies); the final all_gather assembles the frame."""
     from vokselis_tpu.core import geometry
-    from vokselis_tpu.ops.reference import MAX_STEPS_BONSAI
+    from vokselis_tpu.ops.reference import render_bonsai_rays
 
     n_tiles = mesh.shape["tiles"]
     assert height % n_tiles == 0
@@ -130,7 +156,7 @@ def render_frame_tiled(
         # full-frame ray set is cheap; slice this chip's band
         eye, dirs = geometry.rays_fragment(cam, width, height)
         d_band = jax.lax.dynamic_slice_in_dim(dirs, ti * band, band, axis=0)
-        img = _march_band(vol_l, eye, d_band, max_steps)
+        img = render_bonsai_rays(vol_l, eye, d_band, max_steps=max_steps)
         return jax.lax.all_gather(img, "tiles", axis=0, tiled=True)
 
     fn = shard_map(
@@ -139,53 +165,19 @@ def render_frame_tiled(
     return jax.jit(fn)(vol)
 
 
-def _march_band(vol, eye, dirs, max_steps):
-    """March a band of rays with the oracle's semantics (shared helper)."""
-    import jax.numpy as jnp
-
-    from vokselis_tpu.core.geometry import intersect_box_unit
-    from vokselis_tpu.core.colors import linear_to_srgb
-    from vokselis_tpu.ops.reference import _bonsai_transfer
-    from vokselis_tpu.volume.sample import sample_trilinear_r8
-
-    h, w = dirs.shape[:2]
-    d = dirs.reshape(-1, 3)
-    eye_b = jnp.broadcast_to(eye, d.shape)
-    t0, t1 = intersect_box_unit(eye_b, d)
-    hit = t0 <= t1
-    t_start = jnp.maximum(t0, 0.0)
-    n = jnp.asarray(vol.shape[0], jnp.float32)
-    dt = jnp.min(1.0 / (n * jnp.abs(d)), axis=-1)
-    p0 = eye_b + t_start[:, None] * d
-
-    def body(i, carry):
-        p, rgb, a, t = carry
-        active = hit & (t < t1) & (a < 0.95)
-        r = sample_trilinear_r8(vol, p)
-        c_rgb, c_a = _bonsai_transfer(r)
-        rgb = jnp.where(active[:, None], rgb + (1 - a)[:, None] * c_a[:, None] * c_rgb, rgb)
-        a = jnp.where(active, a + (1 - a) * c_a, a)
-        p = jnp.where(active[:, None], p + d * dt[:, None], p)
-        t = jnp.where(active, t + dt, t)
-        return p, rgb, a, t
-
-    p, rgb, a, _ = jax.lax.fori_loop(
-        0, max_steps, body,
-        (p0, jnp.zeros_like(d), jnp.zeros(d.shape[0]), t_start),
-    )
-    rgb = linear_to_srgb(jnp.where(hit[:, None], rgb, 0.0))
-    return jnp.concatenate([rgb, jnp.ones((d.shape[0], 1))], -1).reshape(h, w, 4)
-
-
 def multi_view_step(mesh: Mesh, vol, n_views: int, width: int, height: int,
-                    max_steps: int = 32, gather: bool = True):
+                    max_steps: int = 32, gather: bool = True, renderer=None):
     """The full multi-chip 'step': batched orbit cameras -> sharded render ->
-    gathered frames. This is what __graft_entry__.dryrun_multichip drives."""
+    gathered frames. This is what __graft_entry__.dryrun_multichip drives.
+    ``renderer``: optional (render, pack) pair; defaults to the
+    backend-appropriate one (Pallas kernel on TPU, oracle on CPU)."""
+    render, pack = renderer if renderer is not None else build_default_renderer(vol)
     cams = orbit_camera_batch(n_views)
     cams = jax.device_put(
         cams,
         jax.tree.map(lambda _: NamedSharding(mesh, P("views")), cams),
     )
     return render_views_sharded(
-        mesh, vol, cams, width, height, max_steps=max_steps, gather=gather
+        mesh, render, pack, cams, width, height, max_steps=max_steps,
+        gather=gather,
     )
