@@ -125,6 +125,35 @@ def bench_field(width=512, height=512, field="noise", shading="xor",
     return width * height / sec / 1e6, sec
 
 
+def bench_bonsai_fast(width=1024, height=1024, intermediate=256):
+    """renderer="fast" (shear-warp MXU mode). Reported on stderr only: the
+    flagship JSON line stays the EXACT kernel per BASELINE.md policy; the
+    fast mode's error vs the oracle is documented in PARITY_REPORT.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from vokselis_tpu.core.camera import Camera, CameraUniform
+    from vokselis_tpu.ops.shear_warp import build_fast_renderer
+    from vokselis_tpu.volume.io import get_bonsai
+
+    u0 = Camera.bonsai(1.0).uniform()
+    render, pack = build_fast_renderer(get_bonsai(), intermediate=intermediate)
+
+    def build(n):
+        def frames(pk, vp, pv, ip):
+            def body(i, acc):
+                u = CameraUniform(vp + acc * 1e-20, pv, ip)
+                img = render(pk, u, width, height)
+                return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        jf = jax.jit(frames)
+        return lambda: jf(pack, u0.view_position, u0.proj_view, u0.inv_proj)
+
+    sec = slope_time(build)
+    return width * height / sec / 1e6, sec
+
+
 def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
     """Config 4: bonsai via the tiled compute-style path, orbiting camera."""
     import jax
@@ -205,6 +234,13 @@ def main():
     results["bonsai_1024"] = (mrays, sec)
     _log(f"config 3 bonsai 256^3 @1024^2: {sec*1000:.1f} ms/frame = "
          f"{mrays:.1f} Mrays/s  [{time.time()-t0:.0f}s elapsed]")
+
+    if not args.cpu_oracle and jax.default_backend() == "tpu":
+        for ii in (256, 512):
+            m, s = bench_bonsai_fast(intermediate=ii)
+            results[f"bonsai_1024_fast_i{ii}"] = (m, s)
+            _log(f"renderer='fast' (shear-warp MXU, I={ii}): {s*1000:.2f} ms"
+                 f"/frame = {m:.0f} Mrays/s (approximate — see PARITY_REPORT.md)")
 
     if args.all:
         for name, kw in (

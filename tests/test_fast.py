@@ -1,0 +1,85 @@
+"""Shear-warp fast renderer: correctness of the warp kernel and bounded
+error vs the exact oracle (the fast mode is documented-approximate; its
+error budget here is what PARITY_REPORT.md reports)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import jax.experimental.pallas as pl
+
+
+@pytest.fixture
+def interpret(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    import importlib
+    import vokselis_tpu.ops.pallas.warp2d as w2
+
+    importlib.reload(w2)
+    yield
+    importlib.reload(w2)
+
+
+def test_warp_kernel_matches_map_coordinates(interpret):
+    from jax.scipy.ndimage import map_coordinates
+    import vokselis_tpu.ops.pallas.warp2d as w2
+
+    rng = np.random.default_rng(7)
+    ii = 64
+    chans = jnp.asarray(rng.random((3, ii, ii), dtype=np.float32))
+    # rotated + scaled coords covering in-range and out-of-range
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
+    av = jnp.asarray(0.9 * yy + 0.3 * xx + 2.7)
+    bu = jnp.asarray(-0.2 * yy + 1.1 * xx + 5.1)
+    got = np.asarray(w2.warp_bilinear_pallas(chans, av, bu))
+    want = np.stack([
+        np.asarray(map_coordinates(c, [av, bu], order=1, mode="nearest"))
+        for c in chans
+    ])
+    # interior: bf16-band quantization only (~0.4%); borders differ
+    # (kernel edge-clamps, pad ring ~ zero)
+    interior = (np.asarray(av) > 1) & (np.asarray(av) < ii - 2) & \
+               (np.asarray(bu) > 1) & (np.asarray(bu) < ii - 2)
+    err = np.abs(got - want)[:, interior]
+    assert err.max() < 5e-3
+    assert np.isfinite(got).all()
+
+
+def test_fast_renderer_error_vs_oracle():
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.reference import render_bonsai
+    from vokselis_tpu.ops.shear_warp import FastBonsaiRenderer
+    from vokselis_tpu.volume.io import get_bonsai
+
+    vol = get_bonsai(64)
+    r = FastBonsaiRenderer(vol, intermediate=128)
+    for cam in (
+        Camera.bonsai(1.0),
+        Camera(zoom=1.2, pitch=0.9, yaw=1.1, target=(0.5, 0.5, 0.5), aspect=1.0),
+        Camera(zoom=1.0, pitch=0.1, yaw=0.0, target=(0.5, 0.5, 0.5), aspect=1.0),
+    ):
+        u = cam.uniform()
+        img_f = np.asarray(r(u, width=64, height=64))
+        img_o = np.asarray(render_bonsai(jnp.asarray(vol), u, width=64, height=64))
+        err = np.abs(img_f - img_o)
+        assert np.isfinite(img_f).all()
+        # documented fast-mode budget: mean error < 1%, p99 < 0.15
+        assert err.mean() < 0.01, err.mean()
+        assert np.quantile(err, 0.99) < 0.15
+
+
+def test_fast_renderer_functional_api():
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.shear_warp import build_fast_renderer
+    from vokselis_tpu.volume.io import get_bonsai
+
+    render, pack = build_fast_renderer(get_bonsai(32), intermediate=64)
+    img = np.asarray(render(pack, Camera.bonsai(1.0).uniform(), 32, 32))
+    assert img.shape == (32, 32, 4)
+    assert np.isfinite(img).all()

@@ -1,0 +1,150 @@
+"""Fused transfer+composite kernel for the shear-warp fast renderer.
+
+After the MXU resamples every slab onto the intermediate grid
+(ops.shear_warp), the naive XLA composite round-trips the (I, I) rgba
+carry through HBM once per slab (~2 GB/frame at I=512) and materializes
+every elementwise intermediate. This kernel walks the slab stack of ONE
+(8, 128) intermediate block with the carry in registers:
+
+- input layout (n_blocks, G, 8, 128): one contiguous DMA per block;
+- per-slab skip via a scalar-prefetched occupancy bitmask (a slab whose
+  block max is <= 0.1 is a no-op: smoothstep(0.10, 1.2, .) == 0);
+- front-to-back order by traced sign (ascending/descending slab index);
+- grouped alpha early-exit (min(a) >= 0.95 checks every 32 slabs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vokselis_tpu.core.colors import TAU, smoothstep
+
+CHECK_EVERY = 32
+
+
+def _vertigo_soa(t):
+    r = 0.5 + 0.5 * jnp.cos(TAU * (1.0 * t + 0.0))
+    g = 0.5 + 0.5 * jnp.cos(TAU * (1.7 * t + 0.15))
+    b = 0.5 + 0.5 * jnp.cos(TAU * (0.4 * t + 0.20))
+    return r, g, b
+
+
+def _composite_kernel(
+    meta_ref,  # scalar-prefetch (1,): sgn (+1 ascending / -1 descending)
+    occ_ref,  # scalar-prefetch (gp * nrb,): per-(slab, row-block) lane bits
+    res_hbm,  # (n_blocks, gp, 8, 128) f32 resampled slabs
+    out_r, out_g, out_b, out_a,
+    buf,  # scratch (gp, 8, 128) f32
+    sem,
+    *,
+    gp: int,
+    nlb: int,
+):
+    ti = pl.program_id(0)
+    i_rb = ti // nlb
+    j_lb = ti % nlb
+    sgn = meta_ref[0]
+
+    cp = pltpu.make_async_copy(res_hbm.at[ti], buf, sem)
+    cp.start()
+    cp.wait()
+
+    zero = jnp.zeros((8, 128), jnp.float32)
+
+    def group(gi, carry):
+        def run(carry):
+            def body(q, carry):
+                r, g, b, a = carry
+                t = gi * CHECK_EVERY + q
+                idx = jnp.where(sgn > 0, t, gp - 1 - t)
+                # occ tables are per row-block, slab-major
+                bit = (occ_ref[i_rb * gp + idx] >> j_lb) & 1
+
+                def occupied(carry):
+                    r, g, b, a = carry
+                    res = buf[idx].astype(jnp.float32)
+                    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, res))
+                    cr, cg, cb = _vertigo_soa(tv)
+                    w = (1.0 - a) * tv
+                    return (r + w * cr, g + w * cg, b + w * cb,
+                            a + (1.0 - a) * tv)
+
+                return lax.cond(bit > 0, occupied, lambda c: c, carry)
+
+            return lax.fori_loop(0, CHECK_EVERY, body, carry)
+
+        r, g, b, a = carry
+        return lax.cond(jnp.min(a) < 0.95, run, lambda c: c, carry)
+
+    n_groups = gp // CHECK_EVERY
+    r, g, b, a = lax.fori_loop(0, n_groups, group, (zero, zero, zero, zero))
+    out_r[:] = r
+    out_g[:] = g
+    out_b[:] = b
+    out_a[:] = a
+
+
+@partial(jax.jit, static_argnames=())
+def composite_pallas(res_all, sgn):
+    """(G, I, I) resampled slabs -> composited (I, I) r, g, b, a planes.
+
+    ``sgn`` (traced +-1) picks ascending/descending slab order
+    (entry-side-first). G is padded to a multiple of 32; pad slabs are
+    all-zero and occupancy-skipped. Slab stacks travel as bf16 (<=0.4%,
+    fast-mode budget) halving the relayout + per-block DMA traffic.
+    """
+    g0, ii, iw = res_all.shape
+    gp = ((g0 + CHECK_EVERY - 1) // CHECK_EVERY) * CHECK_EVERY
+    if gp != g0:
+        res_all = jnp.pad(res_all, ((0, gp - g0), (0, 0), (0, 0)))
+    nrb = ii // 8
+    nlb = iw // 128
+    n_blocks = nrb * nlb
+
+    # per-(slab, row-block) occupancy bits over lane-blocks
+    blocks = res_all.reshape(gp, nrb, 8, nlb, 128)
+    bmax = blocks.max(axis=(2, 4))  # (gp, nrb, nlb)
+    bits = (bmax > 0.1).astype(jnp.int32) << jnp.arange(nlb, dtype=jnp.int32)
+    occ = bits.sum(axis=2)  # (gp, nrb)
+    # kernel indexes occ by slab only per (i_rb, j_lb) block: flatten so
+    # that occ_flat[idx] for block row i_rb is occ[idx, i_rb] -> provide
+    # per-row-block tables contiguously and index with idx * nrb + i_rb?
+    # Keep it simple: one table per row-block, concatenated slab-major.
+    occ_flat = occ.transpose(1, 0).reshape(-1)  # (nrb * gp,)
+
+    # relayout to one contiguous stack per (8, 128) block
+    tiles = blocks.astype(jnp.bfloat16).transpose(1, 3, 0, 2, 4).reshape(
+        n_blocks, gp, 8, 128)
+
+    meta = jnp.asarray([sgn], jnp.int32).reshape(1)
+
+    block_spec = pl.BlockSpec(
+        (8, 128), lambda i, _m, _o: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[block_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((gp, 8, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    outs = pl.pallas_call(
+        partial(_composite_kernel, gp=gp, nlb=nlb),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32)] * 4,
+    )(meta, occ_flat, tiles)
+
+    planes = [
+        o.reshape(nrb, nlb, 8, 128).transpose(0, 2, 1, 3).reshape(ii, iw)
+        for o in outs
+    ]
+    return planes

@@ -1,0 +1,183 @@
+"""Bilinear homography warp kernel: (C, I, I) image -> (H, W) at fractional
+coordinates. The final pass of the shear-warp fast renderer
+(ops.shear_warp): XLA gathers run at scalar rate on TPU, so the per-pixel
+4-tap lookup runs here with the march kernel's machinery — 32x32 pixel
+tiles packed into (8,128) blocks, a banded row-window DMA per tile, a lane
+roll to align the u footprint, and a v-row scan with lane gathers
+(take_along_axis along 128 lanes is vector-rate; no sublane gather exists).
+
+Coordinates must be FINITE and pre-sanitized by the caller (misses parked
+at -10); out-of-range taps clamp to the intermediate's edge, whose 1-texel
+pad ring is ~zero, matching map_coordinates' cval=0 within the pad.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vokselis_tpu.utils.grid import cdiv
+
+TILE = 32
+WIN_ROWS = 48
+BAND_STRIDE = 16
+
+
+def _pack_tiles(x, ph, pw):
+    t = x.reshape(ph // TILE, TILE, pw // TILE, TILE)
+    t = t.transpose(0, 2, 1, 3).reshape(-1, TILE * TILE)
+    return t.reshape(-1, 8, 128).reshape(-1, 128)
+
+
+def _unpack_tiles(x, ph, pw):
+    t = x.reshape(-1, 8, 128).reshape(ph // TILE, pw // TILE, TILE, TILE)
+    return t.transpose(0, 2, 1, 3).reshape(ph, pw)
+
+
+def _warp_kernel(
+    bands_hbm,  # (nb, C, band_rows, IW) f32
+    avr, bur,  # (8, 128) fractional coords (v, u)
+    out_r, out_g, out_b,
+    buf,  # scratch (C, band_rows, IW)
+    win,  # scratch (C * WIN_ROWS, 128) rolled window
+    sem,
+    *,
+    ii: int,  # real rows (v extent)
+    iw: int,  # real cols (u extent); bands are padded to iw_pad
+    iw_pad: int,  # power-of-two lane width of the banded image
+    band_rows: int,
+    nb: int,
+    n_ch: int,
+):
+    av, bu = avr[:], bur[:]
+    win_rows = min(WIN_ROWS, ii)
+    win_u = min(128, iw_pad)
+
+    fav = jnp.floor(av)
+    fbu = jnp.floor(bu)
+    iv0 = jnp.clip(fav, 0.0, float(ii) - 1.0)
+    iv1 = jnp.clip(fav + 1.0, 0.0, float(ii) - 1.0)
+    iu0 = jnp.clip(fbu, 0.0, float(iw) - 1.0)
+    iu1 = jnp.clip(fbu + 1.0, 0.0, float(iw) - 1.0)
+    fa = jnp.clip(av - fav, 0.0, 1.0)
+    fb = jnp.clip(bu - fbu, 0.0, 1.0)
+
+    v_lo = jnp.min(iv0).astype(jnp.int32)  # iv0 already clipped >= 0
+    v_hi = jnp.max(iv1).astype(jnp.int32)
+    u_lo = jnp.min(iu0).astype(jnp.int32)
+
+    v_b = jnp.clip((v_lo // 8) * 8, 0, max(ii - win_rows, 0))
+    band = jnp.clip(v_b // BAND_STRIDE, 0, nb - 1)
+    v_loc = pl.multiple_of(v_b - band * BAND_STRIDE, 8)
+    u_b = jnp.clip(u_lo, 0, max(iw_pad - win_u, 0))
+    n_rows = jnp.clip(v_hi - v_b + 1, 1, win_rows)
+
+    cp = pltpu.make_async_copy(bands_hbm.at[band], buf, sem)
+    cp.start()
+
+    # per-pixel tap indices overlap the DMA latency
+    ub_f0 = u_b.astype(jnp.float32)
+    vb_f0 = v_b.astype(jnp.float32)
+    iu0l = jnp.clip((iu0 - ub_f0).astype(jnp.int32), 0, win_u - 1)
+    iu1l = jnp.clip((iu1 - ub_f0).astype(jnp.int32), 0, win_u - 1)
+    # clamp into the window: footprints beyond win_rows (extreme zoom)
+    # edge-extend instead of going dark — fast-mode artifact, not a crash
+    iv0l = jnp.clip((iv0 - vb_f0).astype(jnp.int32), 0, win_rows - 1)
+    iv1l = jnp.clip((iv1 - vb_f0).astype(jnp.int32), 0, win_rows - 1)
+
+    cp.wait()
+
+    for c in range(n_ch):
+        rolled = pltpu.roll(
+            buf[c, pl.ds(v_loc, win_rows), :].astype(jnp.float32), -u_b, 1
+        )[:, :win_u]
+        if win_u < 128:
+            rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
+        win[pl.ds(c * win_rows, win_rows), :] = rolled  # width iw_pad rolled
+
+    zero = jnp.zeros_like(av)
+
+    def row_scan(ci, taps):
+        # x8 unroll (dynamic-loop iterations have heavy fixed overhead)
+        for q in range(8):
+            cc = ci * 8 + q
+            new = []
+            for c in range(n_ch):
+                t0c, t1c = taps[2 * c], taps[2 * c + 1]
+                row = jnp.broadcast_to(
+                    win[pl.ds(c * win_rows + cc, 1), :], av.shape
+                )
+                g0 = jnp.take_along_axis(row, iu0l, axis=1)
+                g1 = jnp.take_along_axis(row, iu1l, axis=1)
+                t = g0 + (g1 - g0) * fb
+                m0 = iv0l == cc
+                m1 = iv1l == cc
+                new.append(jnp.where(m0, t, t0c))
+                new.append(jnp.where(m1, t, t1c))
+            taps = tuple(new)
+        return taps
+
+    taps0 = (zero,) * (2 * n_ch)
+    taps = lax.fori_loop(0, (n_rows + 7) // 8, row_scan, taps0)
+
+    outs = (out_r, out_g, out_b)
+    for c in range(n_ch):
+        t0c, t1c = taps[2 * c], taps[2 * c + 1]
+        outs[c][:] = t0c + (t1c - t0c) * fa
+
+
+@partial(jax.jit, static_argnames=())
+def warp_bilinear_pallas(chans, av, bu):
+    """(C<=3, I, I) channels sampled at (H, W) coords -> (C, H, W)."""
+    n_ch, ii, iw = chans.shape
+    # pltpu.roll with a traced shift SILENTLY corrupts on non-power-of-two
+    # lane widths (probed: 384 wrong, 256/512 exact) — pad columns up
+    iw_pad = 1 << (iw - 1).bit_length()
+    if iw_pad != iw:
+        chans = jnp.pad(chans, ((0, 0), (0, 0), (0, iw_pad - iw)))
+    height, width = av.shape
+    win_rows = min(WIN_ROWS, ii)
+    band_rows = min(ii, win_rows + BAND_STRIDE)
+    nb = 1 if ii <= band_rows else cdiv(ii - band_rows, BAND_STRIDE) + 1
+
+    # banded copies of the intermediate (DMA supports scalar leading index
+    # only): band b = rows [16b, 16b + band_rows). bf16 halves the per-tile
+    # window DMA; the composited radiance tolerates 0.4% in fast mode
+    pad_rows = (nb - 1) * BAND_STRIDE + band_rows
+    cp = jnp.pad(chans.astype(jnp.bfloat16), ((0, 0), (0, pad_rows - ii), (0, 0)))
+    bands = jnp.stack(
+        [cp[:, b * BAND_STRIDE : b * BAND_STRIDE + band_rows, :]
+         for b in range(nb)]
+    )  # (nb, C, band_rows, I)
+
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+
+    def pack(x):
+        return _pack_tiles(
+            jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
+        )
+
+    n_tiles = (ph // TILE) * (pw // TILE)
+    block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_warp_kernel, ii=ii, iw=iw, iw_pad=iw_pad,
+                band_rows=band_rows, nb=nb, n_ch=n_ch),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 2,
+        out_specs=[block] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((n_ch, band_rows, iw_pad), jnp.bfloat16),
+            pltpu.VMEM((n_ch * win_rows + 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(bands, pack(av), pack(bu))
+    planes = [_unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]]
+    return jnp.stack(planes)

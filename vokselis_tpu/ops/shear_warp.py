@@ -1,0 +1,331 @@
+"""Shear-warp MXU renderer — the ``renderer="fast"`` approximate bonsai mode.
+
+The exact Pallas slab-march (ops.pallas.march_bonsai) is gather-bound: the
+VPU resolves 4 lane-gathers per scanned window row. This module instead
+factorizes the perspective view (Lacroute-Levoy shear-warp, adapted to the
+reference's sampling scheme) so the per-slab resample runs on the MXU:
+
+    view = warp_2d  o  (per-slab homothety in slab space)
+
+- Slabs are taken along the VIEW's dominant axis m (the axis most aligned
+  with the camera forward) — one sample per slab crossing, exactly the
+  reference's step rule dt = 1/(D * max|dir|) (raycast_naive.wgsl:97-99).
+- For a pinhole camera, the map between two parallel planes is a homothety
+  (uniform scale + translation), so slab k's footprint on a fixed
+  axis-aligned intermediate grid is a SEPARABLE scale/shift resample:
+  two (I x D) bilinear-weight matmuls per slab — MXU work, zero gathers.
+- Sample positions lie at m = k + 0.5: the volume pack pre-blends adjacent
+  slabs (0.5*(vol[k]+vol[k+1])), which IS the exact trilinear interpolant
+  at that plane, halving the mean phase error vs the ray-lattice samples
+  (per-ray phase fm ~ U[0,1): E|fm-0.5| = 0.25 vs E|fm| = 0.5).
+- Outside-the-box samples get ZERO weight — identical to the reference's
+  ray clipping, because transfer(0) = smoothstep(0.10, 1.2, min(0.9,0)) = 0
+  contributes nothing (raycast_naive.wgsl:101-108).
+- The final screen warp is a single bilinear homography lookup; on TPU it
+  runs in a small Pallas kernel (ops.pallas.warp2d) — XLA gathers are
+  scalar-rate — and falls back to jax.scipy map_coordinates elsewhere.
+
+Error vs the exact kernel comes from the ray-vs-plane sample phase and the
+final warp's bilinear reconstruction; it is MEASURED and reported by
+tools/fast_error_report.py / PARITY_REPORT.md, and the flagship benchmark
+keeps the exact kernel (BASELINE.md:16 policy).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from vokselis_tpu.core import geometry
+from vokselis_tpu.core.colors import TAU, linear_to_srgb, smoothstep
+from vokselis_tpu.ops.reference import MAX_STEPS_BONSAI
+
+
+def _vertigo(t):
+    """vertigo palette (raycast_naive.wgsl:75-81) on a (..., ) array."""
+    r = 0.5 + 0.5 * jnp.cos(TAU * (1.0 * t + 0.0))
+    g = 0.5 + 0.5 * jnp.cos(TAU * (1.7 * t + 0.15))
+    b = 0.5 + 0.5 * jnp.cos(TAU * (0.4 * t + 0.20))
+    return r, g, b
+
+
+def prepare_fast_volume(vol_u8):
+    """Pack = three half-shifted slab-major f32 volumes, one per dominant
+    axis (same axis conventions as march_bonsai.prepare_volume):
+    m=0: [x][z][y], m=1: [y][z][x], m=2: [z][y][x]; each pre-blended
+    0.5*(slab k + slab k+1) so a bilinear in-slab sample equals the exact
+    trilinear interpolant at m = k + 0.5 (D-1 slabs per axis)."""
+    vol_np = np.asarray(vol_u8).astype(np.float32) / 255.0
+    d = vol_np.shape[0]
+    assert vol_np.shape == (d, d, d)
+    base = {
+        0: np.transpose(vol_np, (2, 0, 1)),
+        1: np.transpose(vol_np, (1, 0, 2)),
+        2: vol_np,
+    }
+    packs = []
+    for m in range(3):
+        v = base[m]
+        # bf16 storage: a half-blend of two u8 levels has 9 significant
+        # bits; bf16 keeps 8 (<=1/512 error) and feeds the MXU at full rate
+        packs.append(jnp.asarray(0.5 * (v[:-1] + v[1:]), jnp.bfloat16))
+    return tuple(packs)
+
+
+def _axis_weights(pos, d):
+    """(I,) sample positions -> (D, I) bilinear weights with ZERO weight
+    outside [0, d-1] (box-clipping semantics; see module docstring)."""
+    cols = jnp.arange(d, dtype=jnp.float32)[:, None]  # (D, 1)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[None, :] - cols))  # (D, I)
+    return w
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "intermediate", "srgb", "exit_every"),
+)
+def _render_fast(
+    packs,  # 3-tuple of (D-1, D, D) f32 half-shifted slab-major volumes
+    camera_uniform,
+    width: int,
+    height: int,
+    intermediate: int,
+    srgb: bool,
+    exit_every: int = 32,
+):
+    dm1, d, _ = packs[0].shape
+    fd = float(d)
+    ii = intermediate
+
+    # ---- per-frame geometry (traced scalars) ------------------------------
+    eye, dirs = geometry.rays_fragment(camera_uniform, width, height)
+    fwd = dirs[height // 2, width // 2]
+    afwd = jnp.abs(fwd)
+    m = jnp.argmax(afwd)
+
+    # eye and per-pixel slopes in the (m, v, u) frame, texel space
+    # (X = p*D - 0.5, matching march_bonsai's xm0)
+    e_t = eye * fd - 0.5  # (3,) world-axis texel eye
+    # world axis ids for (m, v, u): m=0 ->(0,2,1), 1 ->(1,2,0), 2 ->(2,1,0)
+    def pick(vec):
+        vm = jnp.where(m == 0, vec[0], jnp.where(m == 1, vec[1], vec[2]))
+        vv = jnp.where(m == 2, vec[1], vec[2])
+        vu = jnp.where(m == 0, vec[1], vec[0])
+        return vm, vv, vu
+
+    em, ev, eu = pick(e_t)
+    dmx, dvx, dux = pick(jnp.moveaxis(dirs, -1, 0))  # (H, W) each
+
+    sgn = jnp.where(pick(fwd)[0] >= 0, 1.0, -1.0)
+
+    # slab planes sampled at Z = k + 0.5, k in [0, D-2]
+    z_ref = (fd - 1.0) / 2.0
+    denom_ref = z_ref - em  # nonzero for eye outside the box
+
+    # intermediate grid extent on the ref plane: union over k of the
+    # homothety preimages of [0, D-1]; s(k) monotonic -> endpoints suffice
+    ks = jnp.asarray([0.5, dm1 - 0.5])  # first/last sample planes
+
+    def extent(e_axis):
+        s = (ks - em) / denom_ref  # (2,)
+        lo = (0.0 - e_axis) / s + e_axis
+        hi = (fd - 1.0 - e_axis) / s + e_axis
+        both = jnp.concatenate([lo, hi])
+        return jnp.min(both), jnp.max(both)
+
+    u_lo, u_hi = extent(eu)
+    v_lo, v_hi = extent(ev)
+    # half-texel pad so border bilinear taps are interior
+    u_lo, u_hi = u_lo - 1.0, u_hi + 1.0
+    v_lo, v_hi = v_lo - 1.0, v_hi + 1.0
+    su = (u_hi - u_lo) / ii
+    sv = (v_hi - v_lo) / ii
+    grid_u = u_lo + (jnp.arange(ii, dtype=jnp.float32) + 0.5) * su  # (I,)
+    grid_v = v_lo + (jnp.arange(ii, dtype=jnp.float32) + 0.5) * sv
+
+    volm = lax.switch(m, [lambda: packs[0], lambda: packs[1], lambda: packs[2]])
+
+    if jax.default_backend() == "tpu":
+        # one batched matmul pair resamples EVERY slab, then the fused
+        # Pallas composite walks each (8,128) block's slab stack with the
+        # rgba carry in registers (the XLA loop below round-trips the
+        # carry through HBM per slab — measured HBM-bound)
+        from vokselis_tpu.ops.pallas.composite import composite_pallas
+
+        cols = jnp.arange(d, dtype=jnp.float32)
+        ks = jnp.arange(dm1, dtype=jnp.float32) + 0.5
+        s_k = (ks - em) / denom_ref  # (G,)
+        pos_u = eu + s_k[:, None] * (grid_u[None, :] - eu)  # (G, I)
+        pos_v = ev + s_k[:, None] * (grid_v[None, :] - ev)
+        wu = jnp.maximum(
+            0.0, 1.0 - jnp.abs(pos_u[:, None, :] - cols[None, :, None])
+        ).astype(jnp.bfloat16)  # (G, D, I)
+        wv = jnp.maximum(
+            0.0, 1.0 - jnp.abs(pos_v[:, None, :] - cols[None, :, None])
+        ).astype(jnp.bfloat16)
+        tmp = jax.lax.dot_general(
+            volm.astype(jnp.bfloat16), wu, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # (G, Dv, I)
+        res = jax.lax.dot_general(
+            wv, tmp, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, I_v, I_u) f32
+        sgn_i = jnp.where(sgn > 0, 1, -1).astype(jnp.int32)
+        r, g, b, a = composite_pallas(res, sgn_i)
+        return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu,
+                               ev, denom_ref, u_lo, v_lo, su, sv, height,
+                               width, srgb)
+
+    # ---- XLA path (CPU / tests): grouped matmuls + cumprod composite ------
+    grp = exit_every
+    n_groups = (dm1 + grp - 1) // grp
+    dpad = n_groups * grp
+    # zero-padded tail slabs resample to 0 -> transfer(0) = 0 -> no-ops
+    volp = jnp.pad(volm.astype(jnp.bfloat16), ((0, dpad - dm1), (0, 0), (0, 0)))
+    cols = jnp.arange(d, dtype=jnp.float32)
+
+    def group(gi, state):
+        def run(state):
+            r, g, b, a = state
+            # ascending k slice for this group
+            start = jnp.where(sgn > 0, gi * grp, dpad - (gi + 1) * grp)
+            ks = start + jnp.arange(grp)
+            z = ks.astype(jnp.float32) + 0.5
+            s_k = (z - em) / denom_ref  # (G,)
+            pos_u = eu + s_k[:, None] * (grid_u[None, :] - eu)  # (G, I)
+            pos_v = ev + s_k[:, None] * (grid_v[None, :] - ev)
+            # bf16 operands, f32 accumulate: the volume is u8-derived (a
+            # half-blend has 9 significant bits, bf16 keeps 8 -> <=0.2%)
+            # and bilinear weights lose ~0.4% — inside the fast-mode error
+            # budget, and the MXU runs bf16 at full rate vs multi-pass f32
+            wu = jnp.maximum(
+                0.0, 1.0 - jnp.abs(pos_u[:, None, :] - cols[None, :, None])
+            ).astype(jnp.bfloat16)  # (G, D, I)
+            wv = jnp.maximum(
+                0.0, 1.0 - jnp.abs(pos_v[:, None, :] - cols[None, :, None])
+            ).astype(jnp.bfloat16)
+            slabs = lax.dynamic_slice_in_dim(volp, start, grp, axis=0)
+            tmp = jax.lax.dot_general(
+                slabs, wu, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, Dv, I)
+            res = jax.lax.dot_general(
+                wv, tmp, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, I_v, I_u)
+
+            # whole-group composite: front-to-back under-compositing over
+            # the group collapses to an exclusive transmittance cumprod +
+            # weighted sums — one scan over (G, I, I) instead of G carry
+            # round-trips of the (I, I) rgba state through HBM (the
+            # sequential form measured HBM-bound, not MXU-bound)
+            tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, res))
+            # entry-side-first order
+            tv = lax.cond(sgn > 0, lambda t: t, lambda t: lax.rev(t, (0,)), tv)
+            one_m = 1.0 - tv
+            cum = jnp.cumprod(one_m, axis=0)  # inclusive transmittance
+            t_excl = jnp.concatenate(
+                [jnp.ones((1, ii, ii), jnp.float32), cum[:-1]], axis=0
+            )
+            w = tv * t_excl  # per-slab weight within the group
+            cr, cg, cb = _vertigo(tv)
+            t_in = 1.0 - a
+            r = r + t_in * jnp.sum(w * cr, axis=0)
+            g = g + t_in * jnp.sum(w * cg, axis=0)
+            b = b + t_in * jnp.sum(w * cb, axis=0)
+            a = a + t_in * (1.0 - cum[-1])
+            return (r, g, b, a)
+
+        r, g, b, a = state
+        # global early exit once every composited texel saturates
+        return lax.cond(jnp.min(a) < 0.95, run, lambda s: s, state)
+
+    zero = jnp.zeros((ii, ii), jnp.float32)
+    r, g, b, a = lax.fori_loop(0, n_groups, group, (zero, zero, zero, zero))
+    return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
+                           denom_ref, u_lo, v_lo, su, sv, height, width, srgb)
+
+
+def _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
+                    denom_ref, u_lo, v_lo, su, sv, height, width, srgb):
+    """Final homography warp of the composited intermediate to the screen."""
+    # rays that miss the box are black regardless of the lookup
+    ex = jnp.broadcast_to(eye[0], dirs.shape[:2])
+    ey = jnp.broadcast_to(eye[1], dirs.shape[:2])
+    ez = jnp.broadcast_to(eye[2], dirs.shape[:2])
+    t0, t1 = geometry.intersect_box_soa(
+        ex, ey, ez, dirs[..., 0], dirs[..., 1], dirs[..., 2], 0.0, 1.0
+    )
+    hit = t0 <= t1
+
+    # per-pixel ref-plane position -> intermediate pixel coords; misses and
+    # near-parallel rays (dmx ~ 0) are parked at -10 so the warp kernel's
+    # window probe and int casts stay finite (they're masked out below)
+    safe_dm = jnp.where(jnp.abs(dmx) < 1e-8, 1e-8, dmx)
+    x_ref_u = eu + denom_ref * dux / safe_dm
+    x_ref_v = ev + denom_ref * dvx / safe_dm
+    bu = (x_ref_u - u_lo) / su - 0.5  # (H, W) intermediate coords
+    av = (x_ref_v - v_lo) / sv - 0.5
+    ok = hit & jnp.isfinite(av) & jnp.isfinite(bu)
+    av = jnp.where(ok, av, -10.0)
+    bu = jnp.where(ok, bu, -10.0)
+
+    planes = _warp_bilinear(jnp.stack([r, g, b], 0), av, bu)
+    rgb = jnp.moveaxis(planes, 0, -1)
+    rgb = jnp.where(hit[..., None], rgb, 0.0)
+    if srgb:
+        rgb = linear_to_srgb(rgb)
+    alpha = jnp.ones((height, width, 1), jnp.float32)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def _warp_bilinear(chans, av, bu):
+    """Bilinear lookup of (C, I, I) channels at (H, W) fractional coords.
+    Pallas kernel on TPU (gathers are scalar-rate in XLA); map_coordinates
+    elsewhere."""
+    if jax.default_backend() == "tpu":
+        from vokselis_tpu.ops.pallas.warp2d import warp_bilinear_pallas
+
+        return warp_bilinear_pallas(chans, av, bu)
+    from jax.scipy.ndimage import map_coordinates
+
+    return jnp.stack(
+        [
+            map_coordinates(c, [av, bu], order=1, mode="constant", cval=0.0)
+            for c in chans
+        ]
+    )
+
+
+class FastBonsaiRenderer:
+    """renderer="fast": whole-frame shear-warp approximation. Holds the
+    half-shifted per-axis volume packs; call like BonsaiRenderer."""
+
+    def __init__(self, vol_u8, intermediate: int = 512):
+        self.packs = prepare_fast_volume(vol_u8)
+        self.intermediate = intermediate
+
+    def __call__(self, camera_uniform, width=1280, height=720, srgb=True,
+                 max_steps: int = MAX_STEPS_BONSAI, intermediate=None):
+        return _render_fast(
+            self.packs, camera_uniform, width, height,
+            intermediate or self.intermediate, srgb,
+        )
+
+
+def build_fast_renderer(vol_u8, intermediate: int = 512):
+    """Functional (render, pack) pair matching build_renderer's signature."""
+    packs = prepare_fast_volume(vol_u8)
+
+    def render(pk, camera_uniform, width, height,
+               max_steps=MAX_STEPS_BONSAI, srgb=True):
+        return _render_fast(pk, camera_uniform, width, height,
+                            intermediate, srgb)
+
+    return render, packs
