@@ -85,7 +85,7 @@ def _march_kernel(
         "trig": fields_soa.trig_field,
     }[field]
 
-    def eval_field(px, py, pz):
+    def quant_coords(px, py, pz):
         if quantize:
             # textureLoad at ivec3((p+1)*dims/2) -> voxel-center coord
             # (raycast_compute.wgsl:70 + shaders/xor.wgsl:71-72)
@@ -93,10 +93,48 @@ def _march_kernel(
             gx = jnp.clip(jnp.floor((px + 1.0) * half), 0, dims - 1)
             gy = jnp.clip(jnp.floor((py + 1.0) * half), 0, dims - 1)
             gz = jnp.clip(jnp.floor((pz + 1.0) * half), 0, dims - 1)
-            cx, cy, cz = (gx - half) / dims, (gy - half) / dims, (gz - half) / dims
-        else:
-            cx, cy, cz = px, py, pz
-        return cx, cy, cz, field_fn(cx, cy, cz, field_time)
+            return (gx - half) / dims, (gy - half) / dims, (gz - half) / dims
+        return px, py, pz
+
+    def xor_shade(val, nx, ny, nz, px, py, pz):
+        """K2 shading (raycast_compute.wgsl:73-86) -> (cr, cg, cb)."""
+        # density texture stores vol.rgb/2 (shaders/xor.wgsl:76)
+        vr = vg = vb = val * 0.5
+        # Lambert vs light (0,-1,0): dot = -ny (raycast_compute.wgsl:64,73)
+        sh = jnp.maximum(0.0, -ny)
+        shr = shg = shb = sh
+        # red-tinted directional with positional mask (:81-83)
+        dshade = jnp.maximum(
+            nx * _L_DIR_N[0] + ny * _L_DIR_N[1] + nz * _L_DIR_N[2], 0.0
+        )
+        dmask = smoothstep(
+            0.3, 1.5,
+            px * _MASK_DIR_N[0] + py * _MASK_DIR_N[1] + pz * _MASK_DIR_N[2],
+        )
+        d = 3.0 * dshade * dmask
+        vr = vr + d * 1.0
+        vg = vg + d * 0.1
+        vb = vb + d * 0.13
+        # blue bottom fill (:85-86)
+        bottom = 0.9 * jnp.clip(0.5 - 0.5 * ny, 0.0, 1.0)
+        shr = mix(shr, bottom * 0.0, 0.2)
+        shg = mix(shg, bottom * 0.0, 0.2)
+        shb = mix(shb, bottom * 0.6, 0.2)
+        return vr * shr, vg * shg, vb * shb
+
+    def composite(active, vol_alpha, cr, cg, cb, r, g, b, a):
+        # front-to-back composite with clear-color ambient (:88-91)
+        one_m_a = 1.0 - a
+        nr = r + one_m_a * vol_alpha * cr + clear_r * clear_a * (1.0 - vol_alpha)
+        ng = g + one_m_a * vol_alpha * cg + clear_g * clear_a * (1.0 - vol_alpha)
+        nb = b + one_m_a * vol_alpha * cb + clear_b * clear_a * (1.0 - vol_alpha)
+        na = a + one_m_a * vol_alpha * (1.0 - clear_a)
+        return (
+            jnp.where(active, nr, r),
+            jnp.where(active, ng, g),
+            jnp.where(active, nb, b),
+            jnp.where(active, na, a),
+        )
 
     def body(carry):
         i, r, g, b, a, t = carry
@@ -104,49 +142,32 @@ def _march_kernel(
         px = exv + t * dxv
         py = eyv + t * dyv
         pz = ezv + t * dzv
-        cx, cy, cz, (val, valpha) = eval_field(px, py, pz)
-        vol_alpha = smoothstep(0.0, 0.7, valpha * valpha * valpha)
+        cx, cy, cz = quant_coords(px, py, pz)
 
+        if shading == "xor" and field == "noise":
+            # fused hash-shared eval: density, alpha AND the one-sided
+            # gradient from ONE fbm4 (60 sins per step instead of 120 —
+            # bit-identical; see fields_soa). A per-step alpha-gated skip
+            # of the offsets measured SLOWER (18.6 vs 19.6 Mrays/s): the
+            # fbm is nonzero almost everywhere inside its sphere window,
+            # so the cond never fires and only adds a reduce per step.
+            val, valpha, nx, ny, nz = fields_soa.noise_volume_grad(
+                cx, cy, cz, sin_t
+            )
+            vol_alpha = smoothstep(0.0, 0.7, valpha * valpha * valpha)
+            cr, cg, cb = xor_shade(val, nx, ny, nz, px, py, pz)
+            r, g, b, a = composite(active, vol_alpha, cr, cg, cb, r, g, b, a)
+            t = jnp.where(active, t + dtv, t)
+            return i + 1, r, g, b, a, t
+
+        val, valpha = field_fn(cx, cy, cz, field_time)
+        vol_alpha = smoothstep(0.0, 0.7, valpha * valpha * valpha)
         if shading == "xor":
-            # density texture stores vol.rgb/2 (shaders/xor.wgsl:76)
-            vr = vg = vb = val * 0.5
             nx, ny, nz = fields_soa.gradient(cx, cy, cz, sin_t)
-            # Lambert vs light (0,-1,0): dot = -ny (raycast_compute.wgsl:64,73)
-            sh = jnp.maximum(0.0, -ny)
-            shr = shg = shb = sh
-            # red-tinted directional with positional mask (:81-83)
-            dshade = jnp.maximum(
-                nx * _L_DIR_N[0] + ny * _L_DIR_N[1] + nz * _L_DIR_N[2], 0.0
-            )
-            dmask = smoothstep(
-                0.3, 1.5, px * _MASK_DIR_N[0] + py * _MASK_DIR_N[1] + pz * _MASK_DIR_N[2]
-            )
-            d = 3.0 * dshade * dmask
-            vr = vr + d * 1.0
-            vg = vg + d * 0.1
-            vb = vb + d * 0.13
-            # blue bottom fill (:85-86)
-            bottom = 0.9 * jnp.clip(0.5 - 0.5 * ny, 0.0, 1.0)
-            shr = mix(shr, bottom * 0.0, 0.2)
-            shg = mix(shg, bottom * 0.0, 0.2)
-            shb = mix(shb, bottom * 0.6, 0.2)
-            cr = vr * shr
-            cg = vg * shg
-            cb = vb * shb
+            cr, cg, cb = xor_shade(val, nx, ny, nz, px, py, pz)
         else:  # emission
             cr = cg = cb = val
-
-        # front-to-back composite with clear-color ambient (:88-91)
-        one_m_a = 1.0 - a
-        nr = r + one_m_a * vol_alpha * cr + clear_r * clear_a * (1.0 - vol_alpha)
-        ng = g + one_m_a * vol_alpha * cg + clear_g * clear_a * (1.0 - vol_alpha)
-        nb = b + one_m_a * vol_alpha * cb + clear_b * clear_a * (1.0 - vol_alpha)
-        na = a + one_m_a * vol_alpha * (1.0 - clear_a)
-
-        r = jnp.where(active, nr, r)
-        g = jnp.where(active, ng, g)
-        b = jnp.where(active, nb, b)
-        a = jnp.where(active, na, a)
+        r, g, b, a = composite(active, vol_alpha, cr, cg, cb, r, g, b, a)
         t = jnp.where(active, t + dtv, t)
         return i + 1, r, g, b, a, t
 
