@@ -20,6 +20,8 @@ def make_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--orbit", action="store_true",
                    help="orbit the camera (drag-equivalent) during the run")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--watch", action="store_true",
+                   help="hot-reload registered field/kernel sources on edit")
     return p
 
 

@@ -30,6 +30,7 @@ def main():
         camera=camera,
         frames=args.frames,
         events=events(),
+        watch=args.watch,
     )
     finish(ctx, args)
 

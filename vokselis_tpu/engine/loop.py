@@ -55,10 +55,14 @@ def run(
     events: Iterable[dict] | None = None,
     context: Context | None = None,
     quiet: bool = False,
+    watch: bool = False,
 ):
     """Run a demo headlessly. Returns the final Context (its
-    ``display_image`` is the last presented frame)."""
-    ctx = context or Context(width=width, height=height, camera=camera)
+    ``display_image`` is the last presented frame). ``watch=True`` starts
+    the source watcher thread: edits to registered field/kernel modules
+    hot-swap mid-run (the reference's shader reload loop)."""
+    ctx = context or Context(width=width, height=height, camera=camera,
+                             watch=watch)
     recorder = Recorder()
     frame_counter = FrameCounter(ctx.config.report_every)
     if not quiet:

@@ -25,6 +25,43 @@ from vokselis_tpu.engine.demo import Demo
 from vokselis_tpu.engine.profiler import PassTimer
 
 
+class FieldPipeline:
+    """Reloadable compute-march pipeline (ReloadablePipeline protocol):
+    the render callable is re-derived when the watched FIELD SOURCE module
+    changes — the reference's edit-shader -> live-swap loop
+    (src/watcher.rs:45-54 + examples/bonsai/raycast.rs:137-141), with
+    Python field modules playing the role of WGSL files."""
+
+    def __init__(self, use_pallas: bool):
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from vokselis_tpu.ops.pallas.march_field import render_field_pallas
+
+            self.render = render_field_pallas
+            self.field_fn = None
+        else:
+            from vokselis_tpu.ops.reference import render_compute_inline
+            from vokselis_tpu.volume import fields
+
+            self.render = render_compute_inline
+            self.field_fn = fields.noise_volume
+
+    def reload(self, module):
+        if self.use_pallas:
+            # the kernel module binds fields_soa at import: re-importing it
+            # picks up the freshly reloaded field source and re-creates the
+            # jit wrapper (fresh trace cache)
+            import importlib
+
+            from vokselis_tpu.ops.pallas import march_field
+
+            self.render = importlib.reload(march_field).render_field_pallas
+        else:
+            # the oracle takes the field callable as a STATIC jit arg — a
+            # fresh function object forces the retrace
+            self.field_fn = module.noise_volume
+
+
 class XorDemo(Demo):
     MODES = ("SinglePass", "Tile")
 
@@ -33,13 +70,22 @@ class XorDemo(Demo):
         self.use_pallas = use_pallas
         self.gen_time = gen_time  # field frozen at init (main.rs:135-146)
         self.timer = PassTimer("raycast shader")
+        self.pipeline = FieldPipeline(use_pallas)
         print("Change rendering mode on F1")
 
     @classmethod
     def init(cls, ctx, use_pallas: bool | None = None):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        return cls(use_pallas, gen_time=float(ctx.global_uniform.time))
+        demo = cls(use_pallas, gen_time=float(ctx.global_uniform.time))
+        # register the field source with the context watcher at
+        # construction, exactly like the reference's pipelines
+        # (examples/bonsai/raycast.rs:137-141)
+        from vokselis_tpu.volume import fields, fields_soa
+
+        ctx.watcher.register(fields_soa if use_pallas else fields,
+                             demo.pipeline)
+        return demo
 
     @staticmethod
     def default_camera(aspect: float) -> Camera:
@@ -69,9 +115,7 @@ class XorDemo(Demo):
         tile_h = 8 if self.mode == "SinglePass" else min(TILE_SIZE, bb.height)
         with self.timer.measure(n_rays=bb.width * bb.height):
             if self.use_pallas:
-                from vokselis_tpu.ops.pallas.march_field import render_field_pallas
-
-                img = render_field_pallas(
+                img = self.pipeline.render(
                     ctx.camera_uniform,
                     time=self.gen_time,
                     width=bb.width,
@@ -81,12 +125,11 @@ class XorDemo(Demo):
                     tile_h=tile_h,
                 )
             else:
-                from vokselis_tpu.ops.reference import render_compute_inline
-
-                img = render_compute_inline(
+                img = self.pipeline.render(
                     ctx.camera_uniform,
                     time=self.gen_time,
                     width=bb.width,
                     height=bb.height,
+                    field=self.pipeline.field_fn,
                 )
         bb.store(img)
