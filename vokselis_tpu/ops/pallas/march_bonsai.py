@@ -14,35 +14,42 @@ Therefore, per ray, the dominant-axis (m) texel coordinate at step j is
 consecutive volume slabs, one per step, in its sign direction. Design:
 
 1. rays are classified by (dominant axis m, sign s) — 6 classes. Each class
-   gets its own slab-major uint8 volume layout in HBM, with negative-sign
-   classes PRE-FLIPPED along the slab axis so every class marches in
-   ascending slab order (tap order reverses: ``k0' = D-2-k0``, ``fm' =
-   1-fm``). ONE kernel (one Mosaic compile) serves every class via
-   scalar-prefetched indices.
-2. The volume is stored as overlapped 9-slab chunks (chunk c holds clamped
-   slabs 8c-1..8c+7), further split into overlapped 64-stride v-BANDS of
-   ``band_rows`` rows — one scalar-leading-index DMA fetches exactly the
-   rows a tile's window needs for 8 march steps (``pl.ds`` DMA slicing does
-   not compile on this toolchain; banding recovers the savings).
-3. DMA is OCCUPANCY-GATED: a per-(chunk, 16-row v-band, u-band) table built
+   gets its own slab-major volume layout in HBM, with negative-sign classes
+   PRE-FLIPPED along the slab axis so every class marches in ascending slab
+   order (tap order reverses: ``k0' = D-2-k0``, ``fm' = 1-fm``). ONE grid
+   step serves ONE 32x32 image tile for ALL classes: a dynamic fori over
+   classes derives slab-space params in-register and sweeps only classes
+   with rays (a ~10-op probe + 1 reduce gates each).
+2. The volume is stored as SLAB-PAIR chunks: uint16 section s of chunk c
+   holds clamped slab 8c-1+s in the low byte and its +1 neighbor in the
+   high byte — the trilinear m-lerp's two taps ride one value. Chunks are
+   further split into overlapped v-BANDS of ``band_rows`` rows — one
+   scalar-leading-index DMA fetches the rows a tile's window needs for 8
+   march steps (``pl.ds`` DMA slicing does not compile on this toolchain;
+   banding recovers the savings).
+3. DMA is OCCUPANCY-GATED: a per-(chunk, 8-row v-band, u-band) table built
    at volume-prep time is consulted through scalar prefetch; chunks whose
    window region is empty are neither fetched nor processed (empty voxels
    contribute exactly zero through the transfer function:
    smoothstep(0.10, 1.2, min(0.9, 0)) == 0). In-flight DMAs are tracked by
    explicit started-flags carried through the sweep loop and drained on
    exit — every start has exactly one wait.
-4. 32x32-pixel image tiles are packed into (8,128) blocks; per (class,
-   tile) grid step, slabs sweep front-to-back with double-buffered band
-   DMAs and tile-level early exit replacing the per-pixel break at opacity
-   0.95 (:115-117).
-5. The trilinear sample is ``lerp_m(bilinear(slab k), bilinear(slab k+1))``;
-   the bilinear runs as a x4-unrolled window-row scan: rows broadcast +
-   lane-gathered (``take_along_axis`` along 128 lanes is vector-rate;
-   sublane gather does not exist on this target), with the u-window located
-   by a dynamic lane roll.
+4. Per occupied chunk the window rows are dequantized into int32 QUADS:
+   low half = the u16 slab pair at u, high half = the pair at u+1 (second
+   lane roll, volume-edge clamped) — the full 2x2 (m, u) tap footprint of
+   a bilinear sample is ONE lane gather (gathers measured the dominant
+   cost: ablating half of them saved 7.4 ms/frame at 1024^2).
+5. The row scan visits only each slab's envelope row range (u, v are
+   linear in the slab index; ten reduces once per class bound every slab)
+   and decodes taps with exact integer bit math (values <= 65535 in f32);
+   ``take_along_axis`` along 128 lanes is vector-rate; no sublane gather
+   exists, hence the v-scan + u-gather split and the dynamic lane roll
+   locating the u window.
 6. Transfer function faithful to the reference: the ``min(0.9, v)``
    clamp-arg-order quirk, smoothstep(0.10, 1.2), vertigo palette,
-   front-to-back under-compositing.
+   front-to-back under-compositing; slabs sweep front-to-back with
+   double-buffered band DMAs and tile-level early exit replacing the
+   per-pixel break at opacity 0.95 (:115-117).
 
 Limitations (flagged via the ``overflow`` output): requires dt_scale == 1
 (the slab-order identity) and per-tile-per-chunk footprints <=
@@ -81,7 +88,15 @@ TILE = 32  # pixel tile edge; one (8,128) block = one 32x32 tile
 CHUNK = 8  # march slabs per DMA chunk (chunk holds CHUNK+1 slabs)
 OCC_V = 8  # v-rows per occupancy block
 OCC_U = 128  # u-cols per occupancy block
-BAND_STRIDE = 64  # v-band start granularity
+# v-band start granularity: finer bands shrink each chunk DMA (measured
+# 50.1 -> 51.0 Mrays/s at 256^3 with stride 16) but multiply the layout's
+# HBM footprint; prepare_volume picks per volume size
+BAND_STRIDE = 64
+BAND_STRIDE_SMALL = 16  # for volumes <= 256^3 (layout stays < 1 GiB)
+# rows per row-scan unroll group: 16 re-measured best vs 8 (37.2 vs 34.7
+# Mrays/s at 1024^2) even WITH per-slab envelope ranges — dynamic-loop
+# iteration overhead outweighs the ~25% fewer scanned rows
+SCAN_GRP = 16
 
 
 def _vertigo_soa(t):
@@ -96,17 +111,18 @@ def _march_kernel(
     crange_ref,  # scalar-prefetch: (12,) int32 per-class occupied chunk lo/hi
     occ_ref,  # scalar-prefetch: flat int32 occupancy [(chunk*nvb+vb)*nub+ub]
     eye_ref,  # SMEM (3,) f32 camera eye
-    vol_hbm,  # (6*n_chunks*nb, CHUNK+1, band_rows, D) uint8 banded chunks
+    vol_hbm,  # (6*n_chunks*nb, CHUNK, band_rows, D) uint16 slab-pair chunks
     dxr, dyr, dzr, tstr, t1r, hitr,  # raw ray blocks (8, 128)
     out_r, out_g, out_b, out_a, out_ovf,
-    buf_a, buf_b,  # scratch (CHUNK+1, band_rows, D) uint8
-    win2d,  # scratch ((CHUNK+1)*win_v + 8, 128) f32 — flattened windows
+    buf_a, buf_b,  # scratch (CHUNK, band_rows, D) uint16 slab pairs
+    win2d,  # scratch (CHUNK*win_v + 32, 128) int32 — quad windows
     sem_a, sem_b,
     *,
     dims: int,
     win_rows: int,
     band_rows: int,
     nb: int,
+    bstride: int,
     max_steps: int,
 ):
     """One grid step = one 32x32 image tile, ALL six (axis, sign) ray
@@ -269,7 +285,7 @@ def _march_kernel(
             u_b2 = jnp.clip(u_base, 0, dims - win_u)
             v_b2 = jnp.clip(v_b2, 0, dims - win_v)
             n_rows = jnp.clip(v_max - v_b2 + 1, 0, win_v)
-            band = jnp.clip(v_b2 // BAND_STRIDE, 0, nb - 1)
+            band = jnp.clip(v_b2 // bstride, 0, nb - 1)
             want = anyact & (occ > 0)
             return (want, cc, band, u_b2, v_b2, n_rows, step_ovf & anyact)
 
@@ -287,7 +303,7 @@ def _march_kernel(
             ovf = ovf | step_ovf
 
             def occupied(r, g, b, a):
-                v_loc = pl.multiple_of(v_b2 - band * BAND_STRIDE, 8)
+                v_loc = pl.multiple_of(v_b2 - band * bstride, 8)
                 ub_f = u_b2.astype(jnp.float32)
                 vb_f = v_b2.astype(jnp.float32)
 
@@ -295,22 +311,35 @@ def _march_kernel(
                 # past n_rows (never read by the scan) skip conversion
                 grp_rows = 16 if win_v % 16 == 0 else 8
                 n_groups = 0 if _ABLATE >= 2 else win_v // grp_rows
-                for src in range(CHUNK + 1):
+                for src in range(CHUNK):
                     for grp in range(n_groups):
                         @pl.when((grp == 0) | (grp * grp_rows < n_rows))
                         def _(src=src, grp=grp):
                             raw = buf[src, pl.ds(v_loc + grp * grp_rows, grp_rows), :]
-                            w = raw.astype(jnp.int32).astype(jnp.float32) * (
-                                1.0 / 255.0
+                            # int32 QUAD per (v, u): the u16 slab pair at u
+                            # in the low half, the pair at u+1 in the high
+                            # half (second roll) — the row scan fetches the
+                            # whole 2x2 (m, u) tap footprint in ONE gather
+                            w = raw.astype(jnp.int32)
+                            r0 = pltpu.roll(w, -u_b2, 1)
+                            r1 = pltpu.roll(w, -(u_b2 + 1), 1)
+                            # clamp-to-edge at the volume's last column:
+                            # the roll WRAPS u = D-1's neighbor to column 0;
+                            # the reference clamps (iu1 = min(iu0+1, D-1))
+                            lanes = lax.broadcasted_iota(
+                                jnp.int32, r0.shape, 1
                             )
-                            rolled = pltpu.roll(w, -u_b2, 1)[:, :win_u]
+                            r1 = jnp.where(
+                                lanes == (dims - 1) - u_b2, r0, r1
+                            )
+                            quad = (r0 | (r1 << 16))[:, :win_u]
                             if win_u < 128:
-                                rolled = jnp.pad(
-                                    rolled, ((0, 0), (0, 128 - win_u))
+                                quad = jnp.pad(
+                                    quad, ((0, 0), (0, 128 - win_u))
                                 )
                             win2d[
                                 pl.ds(src * win_v + grp * grp_rows, grp_rows), :
-                            ] = rolled
+                            ] = quad
 
                 def slab(s_in, st):
                     r, g, b, a = st
@@ -330,8 +359,11 @@ def _march_kernel(
                                       win_v - 1)
                     hi_rel = jnp.clip(hi_i.astype(jnp.int32) - v_b2, 0,
                                       win_v - 1)
-                    g_lo = lo_rel // 16
-                    g_hi = hi_rel // 16 + 1
+                    if _ABLATE == -5:  # experiment: whole-chunk scan
+                        g_lo, g_hi = 0, (n_rows + SCAN_GRP - 1) // SCAN_GRP
+                    else:
+                        g_lo = lo_rel // SCAN_GRP
+                        g_hi = hi_rel // SCAN_GRP + 1
                     u = u0 + j * du
                     v = v0 + j * dv
                     fu0 = jnp.floor(u)
@@ -347,7 +379,6 @@ def _march_kernel(
                     iv0l = (iv0 - vb_f).astype(jnp.int32)
                     iv1l = (iv1 - vb_f).astype(jnp.int32)
                     base_a = s_in * win_v
-                    base_b = base_a + win_v
 
                     def row_scan(ci, taps):
                         # unrolled x16: dynamic-loop iterations cost ~1us
@@ -355,19 +386,20 @@ def _march_kernel(
                         # past the span never match a tap index; scratch
                         # padded +32 rows). x16 beat x4/x8 and a fully-static
                         # 64-row scan (28.4 / 29.5 / 35.1 / 37.9 Mrays/s)
-                        for q in range(16):
-                            cc_ = ci * 16 + q
+                        for q in range(SCAN_GRP):
+                            cc_ = ci * SCAN_GRP + q
                             a00, a01, a10, a11 = taps
-                            rowa = jnp.broadcast_to(
+                            row = jnp.broadcast_to(
                                 win2d[pl.ds(base_a + cc_, 1), :], u0.shape)
-                            rowb = jnp.broadcast_to(
-                                win2d[pl.ds(base_b + cc_, 1), :], u0.shape)
-                            ga0 = jnp.take_along_axis(rowa, iu0l, axis=1)
-                            ga1 = jnp.take_along_axis(rowa, iu1l, axis=1)
-                            gb0 = jnp.take_along_axis(rowb, iu0l, axis=1)
-                            gb1 = jnp.take_along_axis(rowb, iu1l, axis=1)
-                            t0 = ga0 + (gb0 - ga0) * fm  # m-lerp fused/tap
-                            t1 = ga1 + (gb1 - ga1) * fm
+                            # ONE gather per row: int32 quad holds both
+                            # slab-pair taps (u and u+1); bit-decode exact
+                            g = jnp.take_along_axis(row, iu0l, axis=1)
+                            a0_ = (g & 0xFF).astype(jnp.float32)
+                            b0 = ((g >> 8) & 0xFF).astype(jnp.float32)
+                            a1_ = ((g >> 16) & 0xFF).astype(jnp.float32)
+                            b1 = ((g >> 24) & 0xFF).astype(jnp.float32)
+                            t0 = a0_ + (b0 - a0_) * fm  # m-lerp fused/tap
+                            t1 = a1_ + (b1 - a1_) * fm
                             m0 = iv0l == cc_
                             m1 = iv1l == cc_
                             taps = (
@@ -386,7 +418,7 @@ def _march_kernel(
                         )
                     c0 = t00 + (t01 - t00) * fu
                     c1 = t10 + (t11 - t10) * fu
-                    samp = c0 + (c1 - c0) * fv
+                    samp = (c0 + (c1 - c0) * fv) * (1.0 / 255.0)
 
                     # transfer (raycast_naive.wgsl:101-108)
                     tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
@@ -521,13 +553,15 @@ def _march_kernel(
 
 
 def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
-    """Build the six slab-major banded-chunk uint8 layouts + occupancy.
+    """Build the six slab-major banded slab-pair (uint16) layouts +
+    occupancy.
 
     ``vol_u8``: (D, D, D) numpy/jnp uint8 indexed [z, y, x]. Class order is
     (m=0,s=+1), (m=0,s=-1), (m=1,s=+1), ... — negative classes use the
     slab-axis-reversed volume so the kernel always sweeps ascending.
 
-    Returns ``(meta, pack)`` where meta = (dims, band_rows, nb) statics and
+    Returns ``(meta, pack)`` where meta = (dims, band_rows, nb, bstride)
+    statics and
     pack = (banded chunks, flat occupancy, per-class chunk ranges) arrays.
     """
     vol_np = np.asarray(vol_u8)
@@ -541,8 +575,9 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
     }
     n_chunks = cdiv(d + 1, CHUNK)
     win = min(max_win_rows, d)
-    band_rows = min(d, round_up(BAND_STRIDE + win, 8))
-    nb = 1 if d <= band_rows else cdiv(d - band_rows, BAND_STRIDE) + 1
+    bstride = BAND_STRIDE_SMALL if d <= 256 else BAND_STRIDE
+    band_rows = min(d, round_up(bstride + win, 8))
+    nb = 1 if d <= band_rows else cdiv(d - band_rows, bstride) + 1
 
     idx = np.clip(
         (np.arange(n_chunks)[:, None] * CHUNK - 1) + np.arange(CHUNK + 1)[None, :],
@@ -556,15 +591,26 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
             stacks.append(lay[idx])
     chunks = np.stack(stacks).reshape(-1, CHUNK + 1, d, d)
 
+    # SLAB-PAIR packing: section s holds slab s | slab s+1 << 8 as uint16.
+    # The trilinear m-lerp taps slabs (k, k+1) at the SAME (u, v): packing
+    # the pair into one integer-exact f32 value (A + 256B <= 65535) halves
+    # the kernel's lane gathers — measured the dominant cost of the row
+    # scan (ablating 2 of 4 gathers: 28.5 -> 21.1 ms/frame at 1024^2)
+    pairs = chunks[:, :CHUNK].astype(np.uint16) | (
+        chunks[:, 1:].astype(np.uint16) << 8
+    )
+
     # v-banded copies: band b = rows [64b, 64b + band_rows), zero-padded
-    padded = np.zeros((chunks.shape[0], CHUNK + 1, (nb - 1) * BAND_STRIDE + band_rows, d),
-                      np.uint8)
-    padded[:, :, :d, :] = chunks
+    padded = np.zeros(
+        (pairs.shape[0], CHUNK, (nb - 1) * bstride + band_rows, d),
+        np.uint16,
+    )
+    padded[:, :, :d, :] = pairs
     banded = np.stack(
-        [padded[:, :, b * BAND_STRIDE : b * BAND_STRIDE + band_rows, :]
+        [padded[:, :, b * bstride : b * bstride + band_rows, :]
          for b in range(nb)],
         axis=1,
-    ).reshape(-1, CHUNK + 1, band_rows, d)
+    ).reshape(-1, CHUNK, band_rows, d)
 
     nub = max(d // OCC_U, 1)
     occ3d = (
@@ -579,7 +625,7 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
         idxs = np.nonzero(nonempty[cls])[0]
         cranges[cls] = (idxs[0], idxs[-1]) if len(idxs) else (1, 0)
 
-    meta = (d, band_rows, nb)
+    meta = (d, band_rows, nb, bstride)
     pack = (jnp.asarray(banded), jnp.asarray(occ), jnp.asarray(cranges))
     return meta, pack
 
@@ -600,11 +646,11 @@ def _unpack_tiles(x, ph, pw):
     jax.jit,
     static_argnames=(
         "width", "height", "dims", "max_steps", "srgb", "win_rows",
-        "band_rows", "nb",
+        "band_rows", "nb", "bstride",
     ),
 )
 def _render_bonsai_pallas(
-    vol_pack,  # (banded chunks u8, occ flat int32, per-class chunk ranges)
+    vol_pack,  # (banded u16 pair chunks, occ int32, per-class chunk ranges)
     camera_uniform,
     width: int,
     height: int,
@@ -614,6 +660,7 @@ def _render_bonsai_pallas(
     win_rows: int = WIN_V,
     band_rows: int = 128,
     nb: int = 3,
+    bstride: int = BAND_STRIDE,
 ):
     vol_chunks, occ, cranges = vol_pack
     eye, (dx, dy, dz) = geometry.rays_fragment_soa(camera_uniform, width, height)
@@ -650,18 +697,19 @@ def _render_bonsai_pallas(
         ] + [block] * 6,
         out_specs=[block] * 5,
         scratch_shapes=[
-            pltpu.VMEM((CHUNK + 1, band_rows, dims), jnp.uint8),
-            pltpu.VMEM((CHUNK + 1, band_rows, dims), jnp.uint8),
+            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
+            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
             # +32 rows: the x16-unrolled row scan may over-read past the
             # last slab section (values never match a tap index)
-            pltpu.VMEM(((CHUNK + 1) * min(win_rows, dims) + 32, 128), jnp.float32),
+            pltpu.VMEM((CHUNK * min(win_rows, dims) + 32, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     outs_call = pl.pallas_call(
         partial(_march_kernel, dims=dims, win_rows=win_rows,
-                band_rows=band_rows, nb=nb, max_steps=max_steps),
+                band_rows=band_rows, nb=nb, bstride=bstride,
+                max_steps=max_steps),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)] * 5,
     )
@@ -695,7 +743,7 @@ class BonsaiRenderer:
     def __init__(self, vol_u8, win_rows: int = 96):
         # layouts are built for the LARGEST window the renderer may use;
         # smaller per-call windows reuse the same bands
-        (self.dims, self.band_rows, self.nb), self.layouts = prepare_volume(
+        (self.dims, self.band_rows, self.nb, self.bstride), self.layouts = prepare_volume(
             vol_u8, win_rows
         )
         self.max_win_rows = win_rows
@@ -724,7 +772,7 @@ class BonsaiRenderer:
         img, ovf = _render_bonsai_pallas(
             self.layouts, camera_uniform, width, height,
             self.dims, max_steps, srgb,
-            win_rows, self.band_rows, self.nb,
+            win_rows, self.band_rows, self.nb, self.bstride,
         )
         self.last_overflow = ovf
         if strict and int(jax.device_get(ovf)) > 0:
@@ -747,13 +795,13 @@ def build_renderer(vol_u8, win_rows: int = WIN_V, with_overflow: bool = False):
     so jit pipelines can check the kernel's only wrong-pixels signal
     (a tile slab footprint exceeding the VMEM window); bench.py asserts it
     is zero during warmup."""
-    (dims, band_rows, nb), pack = prepare_volume(vol_u8, win_rows)
+    (dims, band_rows, nb, bstride), pack = prepare_volume(vol_u8, win_rows)
 
     def render(pk, camera_uniform, width, height,
                max_steps=MAX_STEPS_BONSAI, srgb=True):
         img, ovf = _render_bonsai_pallas(
             pk, camera_uniform, width, height, dims, max_steps, srgb,
-            win_rows, band_rows, nb,
+            win_rows, band_rows, nb, bstride,
         )
         return (img, ovf) if with_overflow else img
 
