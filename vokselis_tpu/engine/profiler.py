@@ -48,15 +48,41 @@ class FrameCounter:
 
 
 class PassTimer:
-    """Times a named device pass; prints every ``report_every`` frames."""
+    """Times a named device pass; prints every ``report_every`` frames.
 
-    def __init__(self, name: str = "raycast shader", report_every: int = 100):
+    Wall-clock dispatch timing includes the host->device round-trip, which
+    on some transports (this image's TPU tunnel: ~29 ms) dwarfs the pass
+    itself. The first report therefore calibrates a per-dispatch FLOOR
+    (median round-trip of a trivial jitted op) and prints both the raw
+    wall time and the floor-adjusted estimate — bench.py's multi-frame
+    slope method remains the number of record for benchmarks."""
+
+    def __init__(self, name: str = "raycast shader", report_every: int = 100,
+                 calibrate: bool = True):
         self.name = name
         self.report_every = report_every
+        self.calibrate = calibrate
         self.accum = 0.0
         self.count = 0
         self.rays = 0
         self.last_ms = 0.0
+        self._floor = None
+
+    @staticmethod
+    def _dispatch_floor() -> float:
+        """Median round-trip seconds of a trivial dispatch (5 samples)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        f = jax.jit(lambda x: x + 1.0)
+        np.asarray(f(jnp.float32(0)))  # compile
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(jnp.float32(0)))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
 
     @contextlib.contextmanager
     def measure(self, n_rays: int = 0, sync=None):
@@ -68,10 +94,17 @@ class PassTimer:
         self.rays += n_rays
         self.count += 1
         if self.count % self.report_every == 0:
-            self.last_ms = self.accum / self.report_every * 1000.0
-            msg = f"Time on {self.name}: {self.last_ms:.3f}ms"
+            if self._floor is None:
+                self._floor = self._dispatch_floor() if self.calibrate else 0.0
+            raw = self.accum / self.report_every
+            adj = max(raw - self._floor, 0.0)
+            self.last_ms = adj * 1000.0
+            msg = f"Time on {self.name}: {adj * 1000.0:.3f}ms"
+            if self._floor > raw * 0.1:
+                msg += (f" (raw wall {raw * 1000.0:.2f}ms incl. "
+                        f"~{self._floor * 1000.0:.1f}ms dispatch floor)")
             if self.rays:
-                mrays = self.rays / max(self.accum, 1e-9) / 1e6
+                mrays = self.rays / max(adj * self.report_every, 1e-9) / 1e6
                 msg += f" ({mrays:.1f} Mrays/s)"
             print(msg)
             self.accum = 0.0
