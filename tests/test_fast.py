@@ -83,3 +83,45 @@ def test_fast_renderer_functional_api():
     img = np.asarray(render(pack, Camera.bonsai(1.0).uniform(), 32, 32))
     assert img.shape == (32, 32, 4)
     assert np.isfinite(img).all()
+
+
+def test_warp_kernel_silhouette_tile_not_dragged(interpret):
+    """Regression (round-2 review): one parked (non-hit) pixel in a tile
+    must not drag the window base to row 0 and clamp the hit pixels' taps.
+    Misses are parked HIGH (+1e6) by _warp_to_screen."""
+    from jax.scipy.ndimage import map_coordinates
+    import vokselis_tpu.ops.pallas.warp2d as w2
+
+    rng = np.random.default_rng(9)
+    ii = 128
+    chans = jnp.asarray(rng.random((3, ii, ii), dtype=np.float32))
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
+    av_np = 0.4 * yy + 90.0
+    bu_np = 0.4 * xx + 30.0
+    av_np[0, 0] = 1e6  # one parked miss pixel, as the silhouette produces
+    bu_np[0, 0] = 1e6
+    got = np.asarray(w2.warp_bilinear_pallas(
+        chans, jnp.asarray(av_np), jnp.asarray(bu_np)))
+    want = np.stack([
+        np.asarray(map_coordinates(c, [av_np, bu_np], order=1, mode="nearest"))
+        for c in chans
+    ])
+    hitm = np.ones((32, 32), bool)
+    hitm[0, 0] = False
+    err = np.abs(got - want)[:, hitm]
+    assert err.max() < 5e-3, err.max()
+
+
+def test_fast_renderer_eye_inside_is_finite():
+    """Eye inside the volume along the dominant axis: the shear-warp
+    factorization degrades (documented) but must stay FINITE, not NaN
+    (round-2 review finding)."""
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.shear_warp import FastBonsaiRenderer
+    from vokselis_tpu.volume.io import get_bonsai
+
+    r = FastBonsaiRenderer(get_bonsai(32), intermediate=64)
+    cam = Camera(zoom=0.3, pitch=0.1, yaw=0.7, target=(0.5, 0.5, 0.5),
+                 aspect=1.0)
+    img = np.asarray(r(cam.uniform(), width=32, height=32))
+    assert np.isfinite(img).all()

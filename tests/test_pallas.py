@@ -196,3 +196,30 @@ def test_field_kernel_sphere_clip_parity():
     err = np.abs(img_p - img_o)
     assert err.max() < 5e-3
     assert err.mean() < 1e-5
+
+
+def test_bonsai_kernel_border_volume_parity():
+    """Regression (round-2 review): the int32 quad packing dropped the
+    LOW-edge u clamp — for u in [-0.5, 0) the oracle taps column 0 twice,
+    not columns (0, 1). Hidden by the bonsai volume's empty borders; this
+    random volume fills them."""
+    import numpy as np
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.reference import render_bonsai
+    import vokselis_tpu.ops.pallas.march_bonsai as mb
+
+    rng = np.random.default_rng(5)
+    vol = rng.integers(30, 220, (32, 32, 32), dtype=np.uint8)
+    for cam in (Camera.bonsai(1.0),
+                Camera(zoom=1.3, pitch=0.2, yaw=2.2, target=(0.5, 0.5, 0.5),
+                       aspect=1.0)):
+        u = cam.uniform()
+        r = mb.BonsaiRenderer(vol)
+        img_p = np.asarray(r(u, width=32, height=32))
+        img_o = np.asarray(
+            render_bonsai(jnp.asarray(vol), u, width=32, height=32)
+        )
+        err = np.abs(img_p - img_o)
+        assert int(np.asarray(r.last_overflow)) == 0
+        assert err.max() < 1e-3, err.max()
+        assert err.mean() < 1e-5

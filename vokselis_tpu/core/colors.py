@@ -71,3 +71,24 @@ def vertigo(t):
     c = jnp.asarray([1.0, 1.7, 0.4], jnp.float32)
     d = jnp.asarray([0.0, 0.15, 0.20], jnp.float32)
     return palette(t[..., None], a, b, c, d)
+
+
+def vertigo_soa(t):
+    """vertigo palette with SoA channel outputs (r, g, b) — the form the
+    Pallas kernels and the fast composite use (a trailing (...,3) axis
+    wastes 125 of 128 vector lanes on TPU)."""
+    r = 0.5 + 0.5 * jnp.cos(TAU * (1.0 * t + 0.0))
+    g = 0.5 + 0.5 * jnp.cos(TAU * (1.7 * t + 0.15))
+    b = 0.5 + 0.5 * jnp.cos(TAU * (0.4 * t + 0.20))
+    return r, g, b
+
+
+def bonsai_transfer_soa(samp):
+    """K1 transfer function (raycast_naive.wgsl:101-108) in SoA form:
+    sample -> (step_alpha, r, g, b). THE single definition of the
+    ``min(0.9, v)`` clamp-arg-order quirk + smoothstep(0.10, 1.2) +
+    vertigo used by the exact kernel, the shear-warp fast mode, and the
+    fused composite — never fix the quirk in one place only (CLAUDE.md)."""
+    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
+    r, g, b = vertigo_soa(tv)
+    return tv, r, g, b

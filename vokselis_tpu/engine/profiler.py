@@ -99,13 +99,20 @@ class PassTimer:
             raw = self.accum / self.report_every
             adj = max(raw - self._floor, 0.0)
             self.last_ms = adj * 1000.0
-            msg = f"Time on {self.name}: {adj * 1000.0:.3f}ms"
-            if self._floor > raw * 0.1:
-                msg += (f" (raw wall {raw * 1000.0:.2f}ms incl. "
-                        f"~{self._floor * 1000.0:.1f}ms dispatch floor)")
-            if self.rays:
-                mrays = self.rays / max(adj * self.report_every, 1e-9) / 1e6
-                msg += f" ({mrays:.1f} Mrays/s)"
+            if adj <= 0.0:
+                # the pass is cheaper than a dispatch round-trip: wall
+                # timing can't resolve it (use bench.py's slope method)
+                msg = (f"Time on {self.name}: below the ~"
+                       f"{self._floor * 1000.0:.1f}ms dispatch floor "
+                       f"(raw wall {raw * 1000.0:.2f}ms)")
+            else:
+                msg = f"Time on {self.name}: {adj * 1000.0:.3f}ms"
+                if self._floor > raw * 0.1:
+                    msg += (f" (raw wall {raw * 1000.0:.2f}ms incl. "
+                            f"~{self._floor * 1000.0:.1f}ms dispatch floor)")
+                if self.rays:
+                    mrays = self.rays / (adj * self.report_every) / 1e6
+                    msg += f" ({mrays:.1f} Mrays/s)"
             print(msg)
             self.accum = 0.0
             self.rays = 0

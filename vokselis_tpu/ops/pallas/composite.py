@@ -23,16 +23,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vokselis_tpu.core.colors import TAU, smoothstep
+from vokselis_tpu.core.colors import bonsai_transfer_soa
 
 CHECK_EVERY = 32
-
-
-def _vertigo_soa(t):
-    r = 0.5 + 0.5 * jnp.cos(TAU * (1.0 * t + 0.0))
-    g = 0.5 + 0.5 * jnp.cos(TAU * (1.7 * t + 0.15))
-    b = 0.5 + 0.5 * jnp.cos(TAU * (0.4 * t + 0.20))
-    return r, g, b
 
 
 def _composite_kernel(
@@ -69,8 +62,7 @@ def _composite_kernel(
                 def occupied(carry):
                     r, g, b, a = carry
                     res = buf[idx].astype(jnp.float32)
-                    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, res))
-                    cr, cg, cb = _vertigo_soa(tv)
+                    tv, cr, cg, cb = bonsai_transfer_soa(res)
                     w = (1.0 - a) * tv
                     return (r + w * cr, g + w * cg, b + w * cb,
                             a + (1.0 - a) * tv)

@@ -71,14 +71,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vokselis_tpu.core import geometry
-from vokselis_tpu.core.colors import TAU, linear_to_srgb, smoothstep
+from vokselis_tpu.core.colors import (
+    bonsai_transfer_soa,
+    linear_to_srgb,
+    smoothstep,
+)
 from vokselis_tpu.utils.grid import cdiv, round_up
 
 MAX_STEPS_BONSAI = int(math.ceil(math.sqrt(3.0) * 256.0)) + 1
 
-# TEMPORARY perf-ablation switch (0=off, 1=no row scan, 2=no conversion,
-# 3=no occupied work at all) — wrong images, timing only
+# Perf-ablation switch for kernel development (0=off, 1=no row scan,
+# 2=no conversion, 3=no occupied work, -4=half gathers, -5=whole-chunk
+# scan) — nonzero values render WRONG images (timing only) and warn loudly
 _ABLATE = int(os.environ.get("VOK_ABLATE", "0"))
+if _ABLATE:
+    import sys as _sys
+
+    print(
+        f"WARNING: VOK_ABLATE={_ABLATE} — the bonsai kernel will render "
+        "WRONG images (perf ablation mode)",
+        file=_sys.stderr,
+    )
 
 # (v-axis, u-axis) per dominant axis m (world axes 0=x, 1=y, 2=z)
 _AXES = {0: (2, 1), 1: (2, 0), 2: (1, 0)}
@@ -97,14 +110,6 @@ BAND_STRIDE_SMALL = 16  # for volumes <= 256^3 (layout stays < 1 GiB)
 # Mrays/s at 1024^2) even WITH per-slab envelope ranges — dynamic-loop
 # iteration overhead outweighs the ~25% fewer scanned rows
 SCAN_GRP = 16
-
-
-def _vertigo_soa(t):
-    """vertigo palette (raycast_naive.wgsl:75-81), SoA channels."""
-    r = 0.5 + 0.5 * jnp.cos(TAU * (1.0 * t + 0.0))
-    g = 0.5 + 0.5 * jnp.cos(TAU * (1.7 * t + 0.15))
-    b = 0.5 + 0.5 * jnp.cos(TAU * (0.4 * t + 0.20))
-    return r, g, b
 
 
 def _march_kernel(
@@ -369,13 +374,16 @@ def _march_kernel(
                     fu0 = jnp.floor(u)
                     fv0 = jnp.floor(v)
                     iu0 = jnp.clip(fu0, 0.0, fdims - 1.0)
-                    iu1 = jnp.clip(fu0 + 1.0, 0.0, fdims - 1.0)
                     iv0 = jnp.clip(fv0, 0.0, fdims - 1.0)
                     iv1 = jnp.clip(fv0 + 1.0, 0.0, fdims - 1.0)
                     fu = u - fu0
                     fv = v - fv0
+                    # the quad's high half is column iu0+1 (volume-edge
+                    # clamped in the conversion); the LOW edge needs a
+                    # per-ray fix: for u in [-0.5, 0) the oracle taps
+                    # clip(floor(u)+1) = column 0 == iu0, not iu0+1
+                    u_low = fu0 < 0.0
                     iu0l = jnp.clip((iu0 - ub_f).astype(jnp.int32), 0, win_u - 1)
-                    iu1l = jnp.clip((iu1 - ub_f).astype(jnp.int32), 0, win_u - 1)
                     iv0l = (iv0 - vb_f).astype(jnp.int32)
                     iv1l = (iv1 - vb_f).astype(jnp.int32)
                     base_a = s_in * win_v
@@ -416,13 +424,15 @@ def _march_kernel(
                         t00, t01, t10, t11 = lax.fori_loop(
                             g_lo, g_hi, row_scan, (zero, zero, zero, zero)
                         )
+                    # low-edge u clamp (see u_low above)
+                    t01 = jnp.where(u_low, t00, t01)
+                    t11 = jnp.where(u_low, t10, t11)
                     c0 = t00 + (t01 - t00) * fu
                     c1 = t10 + (t11 - t10) * fu
                     samp = (c0 + (c1 - c0) * fv) * (1.0 / 255.0)
 
                     # transfer (raycast_naive.wgsl:101-108)
-                    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
-                    cr, cg, cb = _vertigo_soa(tv)
+                    tv, cr, cg, cb = bonsai_transfer_soa(samp)
                     one_m_a = 1.0 - a
                     w = one_m_a * tv
                     return (

@@ -6,9 +6,13 @@ tiles packed into (8,128) blocks, a banded row-window DMA per tile, a lane
 roll to align the u footprint, and a v-row scan with lane gathers
 (take_along_axis along 128 lanes is vector-rate; no sublane gather exists).
 
-Coordinates must be FINITE and pre-sanitized by the caller (misses parked
-at -10); out-of-range taps clamp to the intermediate's edge, whose 1-texel
-pad ring is ~zero, matching map_coordinates' cval=0 within the pad.
+Coordinates must be FINITE and pre-sanitized by the caller; the ``hit``
+mask excludes non-hit pixels from the per-tile window min/max (an unmasked
+park value would drag a silhouette-straddling tile's window away from its
+hit pixels' rows and clamp their taps — round-2 review finding). Non-hit
+pixels read edge-clamped garbage and must be masked by the caller.
+Out-of-range taps clamp to the intermediate's edge, whose 1-texel pad
+ring is ~zero, matching map_coordinates' cval=0 within the pad.
 """
 
 from __future__ import annotations
@@ -22,27 +26,21 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vokselis_tpu.ops.pallas.march_bonsai import (
+    TILE,
+    _pack_tiles,
+    _unpack_tiles,
+)
 from vokselis_tpu.utils.grid import cdiv
 
-TILE = 32
 WIN_ROWS = 48
 BAND_STRIDE = 16
-
-
-def _pack_tiles(x, ph, pw):
-    t = x.reshape(ph // TILE, TILE, pw // TILE, TILE)
-    t = t.transpose(0, 2, 1, 3).reshape(-1, TILE * TILE)
-    return t.reshape(-1, 8, 128).reshape(-1, 128)
-
-
-def _unpack_tiles(x, ph, pw):
-    t = x.reshape(-1, 8, 128).reshape(ph // TILE, pw // TILE, TILE, TILE)
-    return t.transpose(0, 2, 1, 3).reshape(ph, pw)
 
 
 def _warp_kernel(
     bands_hbm,  # (nb, C, band_rows, IW) f32
     avr, bur,  # (8, 128) fractional coords (v, u)
+    hitr,  # (8, 128) 1.0 where the pixel participates in the window
     out_r, out_g, out_b,
     buf,  # scratch (C, band_rows, IW)
     win,  # scratch (C * WIN_ROWS, 128) rolled window
@@ -56,6 +54,7 @@ def _warp_kernel(
     n_ch: int,
 ):
     av, bu = avr[:], bur[:]
+    hitm = hitr[:] > 0.5
     win_rows = min(WIN_ROWS, ii)
     win_u = min(128, iw_pad)
 
@@ -68,9 +67,10 @@ def _warp_kernel(
     fa = jnp.clip(av - fav, 0.0, 1.0)
     fb = jnp.clip(bu - fbu, 0.0, 1.0)
 
-    v_lo = jnp.min(iv0).astype(jnp.int32)  # iv0 already clipped >= 0
-    v_hi = jnp.max(iv1).astype(jnp.int32)
-    u_lo = jnp.min(iu0).astype(jnp.int32)
+    big = float(max(ii, iw))
+    v_lo = jnp.min(jnp.where(hitm, iv0, big)).astype(jnp.int32)
+    v_hi = jnp.max(jnp.where(hitm, iv1, 0.0)).astype(jnp.int32)
+    u_lo = jnp.min(jnp.where(hitm, iu0, big)).astype(jnp.int32)
 
     v_b = jnp.clip((v_lo // 8) * 8, 0, max(ii - win_rows, 0))
     band = jnp.clip(v_b // BAND_STRIDE, 0, nb - 1)
@@ -133,8 +133,10 @@ def _warp_kernel(
 
 
 @partial(jax.jit, static_argnames=())
-def warp_bilinear_pallas(chans, av, bu):
-    """(C<=3, I, I) channels sampled at (H, W) coords -> (C, H, W)."""
+def warp_bilinear_pallas(chans, av, bu, hit=None):
+    """(C<=3, I, I) channels sampled at (H, W) coords -> (C, H, W).
+    ``hit`` (H, W) bool optionally restricts the per-tile sampling window
+    to participating pixels (see module docstring)."""
     n_ch, ii, iw = chans.shape
     # pltpu.roll with a traced shift SILENTLY corrupts on non-power-of-two
     # lane widths (probed: 384 wrong, 256/512 exact) — pad columns up
@@ -164,13 +166,16 @@ def warp_bilinear_pallas(chans, av, bu):
             jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
         )
 
+    hitf = (jnp.ones(av.shape, jnp.float32) if hit is None
+            else hit.astype(jnp.float32))
+
     n_tiles = (ph // TILE) * (pw // TILE)
     block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         partial(_warp_kernel, ii=ii, iw=iw, iw_pad=iw_pad,
                 band_rows=band_rows, nb=nb, n_ch=n_ch),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 3,
         out_specs=[block] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)] * 3,
         scratch_shapes=[
@@ -178,6 +183,6 @@ def warp_bilinear_pallas(chans, av, bu):
             pltpu.VMEM((n_ch * win_rows + 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(bands, pack(av), pack(bu))
+    )(bands, pack(av), pack(bu), pack(hitf))
     planes = [_unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]]
     return jnp.stack(planes)

@@ -42,16 +42,12 @@ import numpy as np
 from jax import lax
 
 from vokselis_tpu.core import geometry
-from vokselis_tpu.core.colors import TAU, linear_to_srgb, smoothstep
+from vokselis_tpu.core.colors import (
+    bonsai_transfer_soa,
+    linear_to_srgb,
+    vertigo_soa,
+)
 from vokselis_tpu.ops.reference import MAX_STEPS_BONSAI
-
-
-def _vertigo(t):
-    """vertigo palette (raycast_naive.wgsl:75-81) on a (..., ) array."""
-    r = 0.5 + 0.5 * jnp.cos(TAU * (1.0 * t + 0.0))
-    g = 0.5 + 0.5 * jnp.cos(TAU * (1.7 * t + 0.15))
-    b = 0.5 + 0.5 * jnp.cos(TAU * (0.4 * t + 0.20))
-    return r, g, b
 
 
 def prepare_fast_volume(vol_u8):
@@ -75,14 +71,6 @@ def prepare_fast_volume(vol_u8):
         # bits; bf16 keeps 8 (<=1/512 error) and feeds the MXU at full rate
         packs.append(jnp.asarray(0.5 * (v[:-1] + v[1:]), jnp.bfloat16))
     return tuple(packs)
-
-
-def _axis_weights(pos, d):
-    """(I,) sample positions -> (D, I) bilinear weights with ZERO weight
-    outside [0, d-1] (box-clipping semantics; see module docstring)."""
-    cols = jnp.arange(d, dtype=jnp.float32)[:, None]  # (D, 1)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[None, :] - cols))  # (D, I)
-    return w
 
 
 @partial(
@@ -125,7 +113,16 @@ def _render_fast(
 
     # slab planes sampled at Z = k + 0.5, k in [0, D-2]
     z_ref = (fd - 1.0) / 2.0
-    denom_ref = z_ref - em  # nonzero for eye outside the box
+    # the factorization needs the eye OUTSIDE the slab range along m
+    # (s(k) must not cross zero); eye-inside poses get clamped divisors so
+    # the frame stays FINITE (geometry degrades — use the exact renderer
+    # for such poses; review finding, round 2)
+    denom_raw = z_ref - em
+    denom_ref = jnp.where(
+        jnp.abs(denom_raw) < 1.0,
+        jnp.where(denom_raw >= 0, 1.0, -1.0),
+        denom_raw,
+    )
 
     # intermediate grid extent on the ref plane: union over k of the
     # homothety preimages of [0, D-1]; s(k) monotonic -> endpoints suffice
@@ -133,6 +130,7 @@ def _render_fast(
 
     def extent(e_axis):
         s = (ks - em) / denom_ref  # (2,)
+        s = jnp.where(jnp.abs(s) < 1e-3, jnp.where(s >= 0, 1e-3, -1e-3), s)
         lo = (0.0 - e_axis) / s + e_axis
         hi = (fd - 1.0 - e_axis) / s + e_axis
         both = jnp.concatenate([lo, hi])
@@ -225,7 +223,7 @@ def _render_fast(
             # weighted sums — one scan over (G, I, I) instead of G carry
             # round-trips of the (I, I) rgba state through HBM (the
             # sequential form measured HBM-bound, not MXU-bound)
-            tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, res))
+            tv = bonsai_transfer_soa(res)[0]
             # entry-side-first order
             tv = lax.cond(sgn > 0, lambda t: t, lambda t: lax.rev(t, (0,)), tv)
             one_m = 1.0 - tv
@@ -234,7 +232,7 @@ def _render_fast(
                 [jnp.ones((1, ii, ii), jnp.float32), cum[:-1]], axis=0
             )
             w = tv * t_excl  # per-slab weight within the group
-            cr, cg, cb = _vertigo(tv)
+            cr, cg, cb = vertigo_soa(tv)
             t_in = 1.0 - a
             r = r + t_in * jnp.sum(w * cr, axis=0)
             g = g + t_in * jnp.sum(w * cg, axis=0)
@@ -265,18 +263,22 @@ def _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
     hit = t0 <= t1
 
     # per-pixel ref-plane position -> intermediate pixel coords; misses and
-    # near-parallel rays (dmx ~ 0) are parked at -10 so the warp kernel's
-    # window probe and int casts stay finite (they're masked out below)
+    # near-parallel rays (dmx ~ 0) are parked at +1e6 so the warp kernel's
+    # window probe and int casts stay finite. Parked HIGH, not low: the
+    # kernel's window base is the block MIN of the coords, so a low park
+    # would drag every silhouette-straddling tile's window to row/col 0
+    # and clamp the hit pixels' taps into it (review finding, round 2);
+    # a high park only widens the scan, and the pixels are masked below.
     safe_dm = jnp.where(jnp.abs(dmx) < 1e-8, 1e-8, dmx)
     x_ref_u = eu + denom_ref * dux / safe_dm
     x_ref_v = ev + denom_ref * dvx / safe_dm
     bu = (x_ref_u - u_lo) / su - 0.5  # (H, W) intermediate coords
     av = (x_ref_v - v_lo) / sv - 0.5
     ok = hit & jnp.isfinite(av) & jnp.isfinite(bu)
-    av = jnp.where(ok, av, -10.0)
-    bu = jnp.where(ok, bu, -10.0)
+    av = jnp.where(ok, av, 1e6)
+    bu = jnp.where(ok, bu, 1e6)
 
-    planes = _warp_bilinear(jnp.stack([r, g, b], 0), av, bu)
+    planes = _warp_bilinear(jnp.stack([r, g, b], 0), av, bu, ok)
     rgb = jnp.moveaxis(planes, 0, -1)
     rgb = jnp.where(hit[..., None], rgb, 0.0)
     if srgb:
@@ -285,14 +287,15 @@ def _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
-def _warp_bilinear(chans, av, bu):
+def _warp_bilinear(chans, av, bu, hit=None):
     """Bilinear lookup of (C, I, I) channels at (H, W) fractional coords.
     Pallas kernel on TPU (gathers are scalar-rate in XLA); map_coordinates
-    elsewhere."""
+    elsewhere. ``hit`` restricts the kernel's per-tile window to
+    participating pixels."""
     if jax.default_backend() == "tpu":
         from vokselis_tpu.ops.pallas.warp2d import warp_bilinear_pallas
 
-        return warp_bilinear_pallas(chans, av, bu)
+        return warp_bilinear_pallas(chans, av, bu, hit)
     from jax.scipy.ndimage import map_coordinates
 
     return jnp.stack(
