@@ -15,8 +15,11 @@ from vokselis_tpu.ops.reference import (
     MAX_STEPS_COMPUTE,
 )
 from vokselis_tpu.ops.present import present
+from vokselis_tpu.ops.shear_warp import FastBonsaiRenderer, build_fast_renderer
 
 __all__ = [
+    "FastBonsaiRenderer",
+    "build_fast_renderer",
     "render_bonsai",
     "render_compute_tex",
     "render_compute_inline",

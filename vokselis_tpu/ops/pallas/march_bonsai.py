@@ -327,6 +327,10 @@ def _march_kernel(
                             # whole 2x2 (m, u) tap footprint in ONE gather
                             w = raw.astype(jnp.int32)
                             r0 = pltpu.roll(w, -u_b2, 1)
+                            # NOTE a "static" pltpu.roll(r0, dims-1) for the
+                            # neighbor measured SLOWER (42.9 vs 50.8): large
+                            # static rotates lower worse than a second
+                            # dynamic roll here
                             r1 = pltpu.roll(w, -(u_b2 + 1), 1)
                             # clamp-to-edge at the volume's last column:
                             # the roll WRAPS u = D-1's neighbor to column 0;
