@@ -251,6 +251,9 @@ def _march_kernel(
             k_hi = k_lo + CHUNK - 1
             in_range = (c >= c_first) & (c <= c_last)
             active_c = mask & (a < 0.95) & (k0 <= k_hi) & (k_last_per_ray >= k_lo)
+            # (a scalar k-range test in place of this reduce measured
+            # within noise: 50.2 vs 50.5-51.9 — kept for its opacity
+            # tightening on partially-saturated sweeps)
             anyact = jnp.any(active_c) & in_range
 
             j_lo = jnp.clip((k_lo - k0).astype(jnp.float32), 0.0, nsteps - 1.0)
