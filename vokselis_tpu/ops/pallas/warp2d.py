@@ -33,8 +33,16 @@ from vokselis_tpu.ops.pallas.march_bonsai import (
 )
 from vokselis_tpu.utils.grid import cdiv
 
-WIN_ROWS = 48
+# row window scales with the intermediate/output ratio (worst per-tile v
+# span = TILE * r * persp_scale * (|cos|+|sin|) ~ 1.84 * TILE * r, + taps);
+# capped at 48 (VMEM) — beyond-cap footprints edge-extend (fast mode)
+WIN_CAP = 48
 BAND_STRIDE = 16
+
+
+def _win_rows(ii: int, height: int, width: int) -> int:
+    est = int(1.84 * TILE * ii / max(min(height, width), 1)) + 10
+    return min(ii, min(WIN_CAP, ((est + 7) // 8) * 8))
 
 
 def _warp_kernel(
@@ -49,13 +57,13 @@ def _warp_kernel(
     ii: int,  # real rows (v extent)
     iw: int,  # real cols (u extent); bands are padded to iw_pad
     iw_pad: int,  # power-of-two lane width of the banded image
+    win_rows: int,
     band_rows: int,
     nb: int,
     n_ch: int,
 ):
     av, bu = avr[:], bur[:]
     hitm = hitr[:] > 0.5
-    win_rows = min(WIN_ROWS, ii)
     win_u = min(128, iw_pad)
 
     fav = jnp.floor(av)
@@ -144,7 +152,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
     if iw_pad != iw:
         chans = jnp.pad(chans, ((0, 0), (0, 0), (0, iw_pad - iw)))
     height, width = av.shape
-    win_rows = min(WIN_ROWS, ii)
+    win_rows = _win_rows(ii, height, width)
     band_rows = min(ii, win_rows + BAND_STRIDE)
     nb = 1 if ii <= band_rows else cdiv(ii - band_rows, BAND_STRIDE) + 1
 
@@ -173,7 +181,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
     block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         partial(_warp_kernel, ii=ii, iw=iw, iw_pad=iw_pad,
-                band_rows=band_rows, nb=nb, n_ch=n_ch),
+                win_rows=win_rows, band_rows=band_rows, nb=nb, n_ch=n_ch),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 3,
         out_specs=[block] * 3,
