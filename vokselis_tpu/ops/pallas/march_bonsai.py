@@ -662,25 +662,29 @@ def _unpack_tiles(x, ph, pw):
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "dims", "max_steps", "srgb", "win_rows",
-        "band_rows", "nb", "bstride",
+        "dims", "max_steps", "srgb", "win_rows", "band_rows", "nb", "bstride",
     ),
 )
-def _render_bonsai_pallas(
+def render_bonsai_rays_pallas(
     vol_pack,  # (banded u16 pair chunks, occ int32, per-class chunk ranges)
-    camera_uniform,
-    width: int,
-    height: int,
+    eye,  # (3,) f32 camera eye
+    dxyz,  # SoA ray directions: (dx, dy, dz), each (H, W) f32, normalized
     dims: int,
-    max_steps: int,
-    srgb: bool,
+    max_steps: int = MAX_STEPS_BONSAI,
+    srgb: bool = True,
     win_rows: int = WIN_V,
     band_rows: int = 128,
     nb: int = 3,
     bstride: int = BAND_STRIDE,
 ):
+    """March an arbitrary SoA ray set with the fused slab-march kernel —
+    the Pallas analog of ops.reference.render_bonsai_rays, shared by the
+    full-frame renderer and the row-sharded multi-chip path (each chip
+    marches its band of rays; parallel/sharding.render_frame_tiled).
+    Returns ((H, W, 4) image, overflow count)."""
     vol_chunks, occ, cranges = vol_pack
-    eye, (dx, dy, dz) = geometry.rays_fragment_soa(camera_uniform, width, height)
+    dx, dy, dz = dxyz
+    height, width = dx.shape
     ex = jnp.broadcast_to(eye[0], dx.shape)
     ey = jnp.broadcast_to(eye[1], dx.shape)
     ez = jnp.broadcast_to(eye[2], dx.shape)
@@ -739,6 +743,33 @@ def _render_bonsai_pallas(
         rgb = linear_to_srgb(rgb)
     alpha = jnp.ones((height, width, 1), jnp.float32)
     return jnp.concatenate([rgb, alpha], axis=-1), n_ovf
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "dims", "max_steps", "srgb", "win_rows",
+        "band_rows", "nb", "bstride",
+    ),
+)
+def _render_bonsai_pallas(
+    vol_pack,
+    camera_uniform,
+    width: int,
+    height: int,
+    dims: int,
+    max_steps: int,
+    srgb: bool,
+    win_rows: int = WIN_V,
+    band_rows: int = 128,
+    nb: int = 3,
+    bstride: int = BAND_STRIDE,
+):
+    eye, dxyz = geometry.rays_fragment_soa(camera_uniform, width, height)
+    return render_bonsai_rays_pallas(
+        vol_pack, eye, dxyz, dims, max_steps, srgb,
+        win_rows, band_rows, nb, bstride,
+    )
 
 
 def auto_win_rows(dims: int, width: int, height: int) -> int:

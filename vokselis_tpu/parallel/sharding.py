@@ -33,8 +33,20 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map_raw
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
 
 from vokselis_tpu.core.camera import Camera, CameraUniform
 
@@ -120,14 +132,52 @@ def render_views_sharded(
     pack_spec = jax.tree.map(lambda _: P(), pack)
     cam_spec = jax.tree.map(lambda _: P("views"), cams)
     out_spec = P() if gather else P("views")
-    fn = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(pack_spec, cam_spec),
-        out_specs=out_spec,
-        check_rep=False,
-    )
+    fn = shard_map(local_step, mesh, (pack_spec, cam_spec), out_spec)
     return jax.jit(fn)(pack, cams)
+
+
+def build_ray_renderer(vol_u8, force_oracle: bool | None = None,
+                       win_rows: int = 64):
+    """Backend-appropriate ``(render_rays, pack)`` pair with the ray-set
+    signature ``render_rays(pack, eye, (dx, dy, dz), max_steps)`` -> (H, W, 4):
+    the fused Pallas slab-march's ray entry on TPU
+    (ops.pallas.march_bonsai.render_bonsai_rays_pallas), the jnp oracle's
+    (ops.reference.render_bonsai_rays) elsewhere. This is what the
+    row-sharded single-frame path marches each chip's band with."""
+    use_oracle = (
+        force_oracle
+        if force_oracle is not None
+        else jax.default_backend() != "tpu"
+    )
+    if not use_oracle:
+        from vokselis_tpu.ops.pallas.march_bonsai import (
+            MAX_STEPS_BONSAI,
+            prepare_volume,
+            render_bonsai_rays_pallas,
+        )
+
+        (dims, band_rows, nb, bstride), pack = prepare_volume(
+            np.asarray(vol_u8), win_rows
+        )
+
+        def render_rays(pk, eye, dxyz, max_steps=MAX_STEPS_BONSAI):
+            img, _ovf = render_bonsai_rays_pallas(
+                pk, eye, dxyz, dims, max_steps, True,
+                win_rows, band_rows, nb, bstride,
+            )
+            return img
+
+        return render_rays, pack
+
+    from vokselis_tpu.ops.reference import MAX_STEPS_BONSAI, render_bonsai_rays
+
+    pack = (jnp.asarray(vol_u8),)
+
+    def render_rays(pk, eye, dxyz, max_steps=MAX_STEPS_BONSAI):
+        dirs = jnp.stack(dxyz, axis=-1)
+        return render_bonsai_rays(pk[0], eye, dirs, max_steps=max_steps)
+
+    return render_rays, pack
 
 
 def render_frame_tiled(
@@ -137,32 +187,44 @@ def render_frame_tiled(
     width: int,
     height: int,
     max_steps: int = 64,
+    renderer=None,
 ):
     """Render ONE frame with its rows sharded over the 'tiles' axis — the
     multi-chip descendant of the xor demo's 256^2-tile dispatch
-    (examples/xor/main.rs:235-254). Rays are independent: each chip marches
-    its row band via the oracle's shared ray-set entry point
-    (ops.reference.render_bonsai_rays — ONE implementation of the march
-    semantics, no hand copies); the final all_gather assembles the frame."""
+    (examples/xor/main.rs:235-254). Rays are independent: the full-frame ray
+    set is generated once (replicated camera math), its ROWS are sharded
+    over the mesh, and each chip marches its band through the shared
+    ray-set entry point — the fused Pallas kernel on TPU slices, the jnp
+    oracle on CPU meshes (``build_ray_renderer`` picks; ONE implementation
+    of the march semantics either way). The final all_gather over ICI
+    assembles the frame on every chip.
+
+    ``renderer``: optional ``(render_rays, pack)`` pair from
+    :func:`build_ray_renderer`; ``vol`` is ignored when given."""
     from vokselis_tpu.core import geometry
-    from vokselis_tpu.ops.reference import render_bonsai_rays
 
     n_tiles = mesh.shape["tiles"]
     assert height % n_tiles == 0
 
-    def local_step(vol_l):
-        ti = jax.lax.axis_index("tiles")
-        band = height // n_tiles
-        # full-frame ray set is cheap; slice this chip's band
-        eye, dirs = geometry.rays_fragment(cam, width, height)
-        d_band = jax.lax.dynamic_slice_in_dim(dirs, ti * band, band, axis=0)
-        img = render_bonsai_rays(vol_l, eye, d_band, max_steps=max_steps)
+    render_rays, pack = (
+        renderer if renderer is not None else build_ray_renderer(vol)
+    )
+    eye, (dx, dy, dz) = geometry.rays_fragment_soa(cam, width, height)
+
+    def local_step(pack_l, eye_l, dx_l, dy_l, dz_l):
+        img = render_rays(pack_l, eye_l, (dx_l, dy_l, dz_l),
+                          max_steps=max_steps)
         return jax.lax.all_gather(img, "tiles", axis=0, tiled=True)
 
+    pack_spec = jax.tree.map(lambda _: P(), pack)
+    row_spec = P("tiles")
     fn = shard_map(
-        local_step, mesh=mesh, in_specs=(P(),), out_specs=P(), check_rep=False
+        local_step,
+        mesh,
+        (pack_spec, P(), row_spec, row_spec, row_spec),
+        P(),
     )
-    return jax.jit(fn)(vol)
+    return jax.jit(fn)(pack, eye, dx, dy, dz)
 
 
 def multi_view_step(mesh: Mesh, vol, n_views: int, width: int, height: int,
