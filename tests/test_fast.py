@@ -112,6 +112,56 @@ def test_warp_kernel_silhouette_tile_not_dragged(interpret):
     assert err.max() < 5e-3, err.max()
 
 
+def test_composite_kernel_matches_sequential(monkeypatch):
+    """The fused composite kernel (TPU path) vs a plain sequential
+    under-composite with the same semantics: raw-tv palette color,
+    irho-corrected alpha rate, per-pixel 0.95 march stop, descending order."""
+    import importlib
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    import vokselis_tpu.ops.pallas.composite as comp
+
+    importlib.reload(comp)
+    try:
+        from vokselis_tpu.core.colors import bonsai_transfer_soa
+
+        rng = np.random.default_rng(11)
+        g, ih, iw = 40, 16, 128  # lanes must be a multiple of 128
+        # dense high values so some pixels cross the 0.95 stop
+        res = jnp.asarray(rng.random((g, ih, iw), dtype=np.float32) * 0.9)
+        irho = jnp.asarray(1.0 + rng.random((ih, iw), dtype=np.float32) * 0.7)
+        for sgn in (1, -1):
+            got = comp.composite_pallas(res, jnp.int32(sgn), irho)
+            r = np.zeros((ih, iw), np.float32)
+            gch = np.zeros((ih, iw), np.float32)
+            b = np.zeros((ih, iw), np.float32)
+            a = np.zeros((ih, iw), np.float32)
+            # the kernel stores slabs as bf16: quantize the reference input
+            # identically so the comparison isolates the composite math
+            res_q = jnp.asarray(res, comp._SLAB_DTYPE).astype(jnp.float32)
+            order = range(g) if sgn > 0 else range(g - 1, -1, -1)
+            for k in order:
+                tv, cr, cg, cb = (np.asarray(x) for x in
+                                  bonsai_transfer_soa(res_q[k]))
+                tv = 1.0 - np.exp(np.asarray(irho) * np.log(1.0 - tv))
+                live = (a < 0.95).astype(np.float32)
+                w = (1.0 - a) * tv * live
+                r += w * cr
+                gch += w * cg
+                b += w * cb
+                a += w
+            for got_p, want_p in zip(got, (r, gch, b, a)):
+                assert np.abs(np.asarray(got_p) - want_p).max() < 1e-4
+    finally:
+        importlib.reload(comp)
+
+
 def test_fast_renderer_eye_inside_is_finite():
     """Eye inside the volume along the dominant axis: the shear-warp
     factorization degrades (documented) but must stay FINITE, not NaN

@@ -15,6 +15,7 @@ every elementwise intermediate. This kernel walks the slab stack of ONE
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -26,12 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 from vokselis_tpu.core.colors import bonsai_transfer_soa
 
 CHECK_EVERY = 32
+# precision experiment knob shared with ops.shear_warp (see there)
+_SLAB_DTYPE = (
+    jnp.float32 if os.environ.get("VOK_FAST_F32", "0") == "1" else jnp.bfloat16
+)
 
 
 def _composite_kernel(
     meta_ref,  # scalar-prefetch (1,): sgn (+1 ascending / -1 descending)
     occ_ref,  # scalar-prefetch (gp * nrb,): per-(slab, row-block) lane bits
     res_hbm,  # (n_blocks, gp, 8, 128) f32 resampled slabs
+    irho_ref,  # (8, 128) per-pixel exact steps per slab (max|d|/|d_m| >= 1)
     out_r, out_g, out_b, out_a,
     buf,  # scratch (gp, 8, 128) f32
     sem,
@@ -49,6 +55,7 @@ def _composite_kernel(
     cp.wait()
 
     zero = jnp.zeros((8, 128), jnp.float32)
+    irho = irho_ref[:]
 
     def group(gi, carry):
         def run(carry):
@@ -63,9 +70,18 @@ def _composite_kernel(
                     r, g, b, a = carry
                     res = buf[idx].astype(jnp.float32)
                     tv, cr, cg, cb = bonsai_transfer_soa(res)
-                    w = (1.0 - a) * tv
-                    return (r + w * cr, g + w * cg, b + w * cb,
-                            a + (1.0 - a) * tv)
+                    # the exact march takes irho >= 1 steps per m-slab
+                    # (dt = 1/(D*max|dir|) advances m by |d_m|/max|dir|
+                    # texels); n equal under-composite steps of alpha tv
+                    # telescope EXACTLY to alpha 1-(1-tv)^n for a locally
+                    # constant field — the off-dominant-axis rate fix
+                    tv = 1.0 - jnp.exp(irho * jnp.log(1.0 - tv))
+                    # per-pixel march stop at alpha 0.95, like the
+                    # reference's break (raycast_naive.wgsl:115-117) and
+                    # the exact kernel's active mask
+                    live = (a < 0.95).astype(jnp.float32)
+                    w = (1.0 - a) * tv * live
+                    return (r + w * cr, g + w * cg, b + w * cb, a + w)
 
                 return lax.cond(bit > 0, occupied, lambda c: c, carry)
 
@@ -83,15 +99,19 @@ def _composite_kernel(
 
 
 @partial(jax.jit, static_argnames=())
-def composite_pallas(res_all, sgn):
+def composite_pallas(res_all, sgn, irho=None):
     """(G, I, I) resampled slabs -> composited (I, I) r, g, b, a planes.
 
     ``sgn`` (traced +-1) picks ascending/descending slab order
-    (entry-side-first). G is padded to a multiple of 32; pad slabs are
-    all-zero and occupancy-skipped. Slab stacks travel as bf16 (<=0.4%,
-    fast-mode budget) halving the relayout + per-block DMA traffic.
+    (entry-side-first). ``irho``: optional (I, I) per-pixel exact-march
+    steps per slab (max|d|/|d_m|, >= 1) — the off-dominant-axis opacity
+    rate correction (1 when omitted). G is padded to a multiple of 32; pad
+    slabs are all-zero and occupancy-skipped. Slab stacks travel as bf16
+    (<=0.4%, fast-mode budget) halving the relayout + per-block DMA traffic.
     """
     g0, ii, iw = res_all.shape
+    if irho is None:
+        irho = jnp.ones((ii, iw), jnp.float32)
     gp = ((g0 + CHECK_EVERY - 1) // CHECK_EVERY) * CHECK_EVERY
     if gp != g0:
         res_all = jnp.pad(res_all, ((0, gp - g0), (0, 0), (0, 0)))
@@ -111,8 +131,11 @@ def composite_pallas(res_all, sgn):
     occ_flat = occ.transpose(1, 0).reshape(-1)  # (nrb * gp,)
 
     # relayout to one contiguous stack per (8, 128) block
-    tiles = blocks.astype(jnp.bfloat16).transpose(1, 3, 0, 2, 4).reshape(
+    tiles = blocks.astype(_SLAB_DTYPE).transpose(1, 3, 0, 2, 4).reshape(
         n_blocks, gp, 8, 128)
+    # irho packed in the SAME block order as the outputs
+    irho_blocks = irho.reshape(nrb, 8, nlb, 128).transpose(0, 2, 1, 3).reshape(
+        n_blocks * 8, 128)
 
     meta = jnp.asarray([sgn], jnp.int32).reshape(1)
 
@@ -122,10 +145,10 @@ def composite_pallas(res_all, sgn):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), block_spec],
         out_specs=[block_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((gp, 8, 128), jnp.bfloat16),
+            pltpu.VMEM((gp, 8, 128), _SLAB_DTYPE),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -133,7 +156,7 @@ def composite_pallas(res_all, sgn):
         partial(_composite_kernel, gp=gp, nlb=nlb),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32)] * 4,
-    )(meta, occ_flat, tiles)
+    )(meta, occ_flat, tiles, irho_blocks)
 
     planes = [
         o.reshape(nrb, nlb, 8, 128).transpose(0, 2, 1, 3).reshape(ii, iw)

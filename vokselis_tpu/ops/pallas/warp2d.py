@@ -17,6 +17,7 @@ ring is ~zero, matching map_coordinates' cval=0 within the pad.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -32,6 +33,11 @@ from vokselis_tpu.ops.pallas.march_bonsai import (
     _unpack_tiles,
 )
 from vokselis_tpu.utils.grid import cdiv
+
+# precision experiment knob shared with ops.shear_warp (see there)
+_CH_DTYPE = (
+    jnp.float32 if os.environ.get("VOK_FAST_F32", "0") == "1" else jnp.bfloat16
+)
 
 # row window scales with the intermediate/output ratio (worst per-tile v
 # span = TILE * r * persp_scale * (|cos|+|sin|) ~ 1.84 * TILE * r, + taps);
@@ -160,7 +166,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
     # only): band b = rows [16b, 16b + band_rows). bf16 halves the per-tile
     # window DMA; the composited radiance tolerates 0.4% in fast mode
     pad_rows = (nb - 1) * BAND_STRIDE + band_rows
-    cp = jnp.pad(chans.astype(jnp.bfloat16), ((0, 0), (0, pad_rows - ii), (0, 0)))
+    cp = jnp.pad(chans.astype(_CH_DTYPE), ((0, 0), (0, pad_rows - ii), (0, 0)))
     bands = jnp.stack(
         [cp[:, b * BAND_STRIDE : b * BAND_STRIDE + band_rows, :]
          for b in range(nb)]
@@ -187,7 +193,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
         out_specs=[block] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((n_ch, band_rows, iw_pad), jnp.bfloat16),
+            pltpu.VMEM((n_ch, band_rows, iw_pad), _CH_DTYPE),
             pltpu.VMEM((n_ch * win_rows + 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],

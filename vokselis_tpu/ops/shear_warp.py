@@ -25,15 +25,32 @@ reference's sampling scheme) so the per-slab resample runs on the MXU:
   runs in a small Pallas kernel (ops.pallas.warp2d) — XLA gathers are
   scalar-rate — and falls back to jax.scipy map_coordinates elsewhere.
 
-Error vs the exact kernel comes from the ray-vs-plane sample phase and the
-final warp's bilinear reconstruction; it is MEASURED and reported by
-tools/fast_error_report.py / PARITY_REPORT.md, and the flagship benchmark
-keeps the exact kernel (BASELINE.md:16 policy).
+Two EXACT corrections are folded into the composite (measured ~5-9% mean
+error reduction, round 2 continuation):
+
+- off-dominant-axis opacity rate: a ray whose own dominant axis isn't m
+  takes irho = max|d|/|d_m| >= 1 exact-march steps per slab; n equal
+  under-composite steps of alpha ``tv`` telescope exactly to
+  ``1 - (1-tv)^n`` for a locally constant field, and irho is separable
+  across the intermediate grid (max(1, au[iu], av[iv]));
+- the reference's per-pixel march break at alpha >= 0.95
+  (raycast_naive.wgsl:115-117): compositing stops once a pixel saturates
+  instead of accumulating up to 5% extra color.
+
+Remaining error vs the exact kernel (MEASURED, tools/fast_error_report.py
+/ PARITY_REPORT.md): sample-position phase for rays entering through side
+faces or marching off the global axis (their exact samples do not lie on
+slab planes — inherent to the factorization), the final warp's bilinear
+reconstruction of COMPOSITED colors across silhouette discontinuities
+(~1/I scaling; the dominant term), and bf16 operands (measured negligible:
+an f32 variant changed mean error by < 1e-5 — VOK_FAST_F32 probe). The
+flagship benchmark keeps the exact kernel (BASELINE.md:16 policy).
 """
 
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -48,6 +65,13 @@ from vokselis_tpu.core.colors import (
     vertigo_soa,
 )
 from vokselis_tpu.ops.reference import MAX_STEPS_BONSAI
+
+# precision experiment knob (read at trace time): VOK_FAST_F32=1 keeps the
+# resample weights/volume/composite/warp in f32 to isolate how much of the
+# fast mode's error floor is bf16 operands vs structural (warp reconstruction
+# at silhouettes). See PARITY_REPORT.md.
+_FAST_F32 = os.environ.get("VOK_FAST_F32", "0") == "1"
+_MM_DTYPE = jnp.float32 if _FAST_F32 else jnp.bfloat16
 
 
 def prepare_fast_volume(vol_u8):
@@ -148,6 +172,18 @@ def _render_fast(
 
     volm = lax.switch(m, [lambda: packs[0], lambda: packs[1], lambda: packs[2]])
 
+    # exact-march steps per slab for each INTERMEDIATE pixel's ray: the
+    # reference dt = 1/(D*max|dir|) advances m by |d_m|/max|dir| texels per
+    # step, so a ray whose own dominant axis isn't m takes
+    # irho = max|d|/|d_m| > 1 steps per slab. Direction of the ray through
+    # ref-plane point (z_ref, gv, gu) is (z_ref-em, gv-ev, gu-eu) in texel
+    # space — separable per axis.
+    au = jnp.abs(grid_u - eu) / jnp.abs(denom_ref)  # (I,)
+    av = jnp.abs(grid_v - ev) / jnp.abs(denom_ref)
+    irho = jnp.maximum(
+        1.0, jnp.maximum(av[:, None], au[None, :])
+    )  # (I_v, I_u)
+
     if jax.default_backend() == "tpu":
         # one batched matmul pair resamples EVERY slab, then the fused
         # Pallas composite walks each (8,128) block's slab stack with the
@@ -162,20 +198,20 @@ def _render_fast(
         pos_v = ev + s_k[:, None] * (grid_v[None, :] - ev)
         wu = jnp.maximum(
             0.0, 1.0 - jnp.abs(pos_u[:, None, :] - cols[None, :, None])
-        ).astype(jnp.bfloat16)  # (G, D, I)
+        ).astype(_MM_DTYPE)  # (G, D, I)
         wv = jnp.maximum(
             0.0, 1.0 - jnp.abs(pos_v[:, None, :] - cols[None, :, None])
-        ).astype(jnp.bfloat16)
+        ).astype(_MM_DTYPE)
         tmp = jax.lax.dot_general(
-            volm.astype(jnp.bfloat16), wu, (((2,), (1,)), ((0,), (0,))),
+            volm.astype(_MM_DTYPE), wu, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)  # (G, Dv, I)
+        ).astype(_MM_DTYPE)  # (G, Dv, I)
         res = jax.lax.dot_general(
             wv, tmp, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (G, I_v, I_u) f32
         sgn_i = jnp.where(sgn > 0, 1, -1).astype(jnp.int32)
-        r, g, b, a = composite_pallas(res, sgn_i)
+        r, g, b, a = composite_pallas(res, sgn_i, irho)
         return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu,
                                ev, denom_ref, u_lo, v_lo, su, sv, height,
                                width, srgb)
@@ -226,18 +262,27 @@ def _render_fast(
             tv = bonsai_transfer_soa(res)[0]
             # entry-side-first order
             tv = lax.cond(sgn > 0, lambda t: t, lambda t: lax.rev(t, (0,)), tv)
+            # palette color comes from the RAW transfer value; the alpha
+            # RATE is corrected to the exact march's irho steps per slab
+            # (see the Pallas composite kernel for the derivation)
+            cr, cg, cb = vertigo_soa(tv)
+            tv = 1.0 - jnp.exp(irho[None] * jnp.log1p(-tv))
             one_m = 1.0 - tv
             cum = jnp.cumprod(one_m, axis=0)  # inclusive transmittance
             t_excl = jnp.concatenate(
                 [jnp.ones((1, ii, ii), jnp.float32), cum[:-1]], axis=0
             )
-            w = tv * t_excl  # per-slab weight within the group
-            cr, cg, cb = vertigo_soa(tv)
+            # per-pixel march stop at alpha 0.95 (reference break): alpha
+            # before slab k is 1 - (1-a)*t_excl_k and is monotonic, so the
+            # live mask is a prefix — masked later slabs contribute nothing
+            # even though t_excl keeps multiplying their (1-tv)
             t_in = 1.0 - a
+            live = (1.0 - t_in * t_excl) < 0.95
+            w = jnp.where(live, tv * t_excl, 0.0)  # per-slab weight in group
             r = r + t_in * jnp.sum(w * cr, axis=0)
             g = g + t_in * jnp.sum(w * cg, axis=0)
             b = b + t_in * jnp.sum(w * cb, axis=0)
-            a = a + t_in * (1.0 - cum[-1])
+            a = a + t_in * jnp.sum(w, axis=0)
             return (r, g, b, a)
 
         r, g, b, a = state
