@@ -236,7 +236,7 @@ def main():
          f"{mrays:.1f} Mrays/s  [{time.time()-t0:.0f}s elapsed]")
 
     if not args.cpu_oracle and jax.default_backend() == "tpu":
-        for ii in (256, 512):
+        for ii in (256, 512) if args.all else (256,):
             m, s = bench_bonsai_fast(intermediate=ii)
             results[f"bonsai_1024_fast_i{ii}"] = (m, s)
             _log(f"renderer='fast' (shear-warp MXU, I={ii}): {s*1000:.2f} ms"

@@ -106,6 +106,36 @@ def test_bonsai_kernel_matches_oracle():
     assert err.mean() < 1e-5
 
 
+def test_bonsai_kernel_fused_tile_pairs():
+    """tiles_per_step=2 (two 32x32 tiles per grid step — the 1024^2 default
+    via pick_tiles_per_step) must match the oracle exactly. Small test
+    volumes never auto-pick fusion (their per-pair window demand exceeds
+    the cap), so drive the static arg directly."""
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.reference import render_bonsai
+    from vokselis_tpu.volume.io import get_bonsai
+    import vokselis_tpu.ops.pallas.march_bonsai as mb
+
+    vol = get_bonsai(32)
+    r = mb.BonsaiRenderer(vol)
+    for cam in (Camera.bonsai(1.0),
+                Camera(zoom=1.3, pitch=0.2, yaw=2.2, target=(0.5, 0.5, 0.5),
+                       aspect=1.0)):
+        u = cam.uniform()
+        img_p, ovf = mb._render_bonsai_pallas(
+            r.layouts, u, 64, 64, r.dims, 64, True,
+            96, r.band_rows, r.nb, r.bstride, 2,
+        )
+        assert int(np.asarray(ovf)) == 0
+        img_o = np.asarray(
+            render_bonsai(jnp.asarray(vol), u, width=64, height=64,
+                          max_steps=64)
+        )
+        err = np.abs(np.asarray(img_p) - img_o)
+        assert err.max() < 1e-3, err.max()
+        assert err.mean() < 1e-5
+
+
 def test_bonsai_kernel_eye_inside():
     from vokselis_tpu.core.camera import Camera
     from vokselis_tpu.ops.reference import render_bonsai

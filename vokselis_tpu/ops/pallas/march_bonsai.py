@@ -52,9 +52,11 @@ consecutive volume slabs, one per step, in its sign direction. Design:
    per-pixel break at opacity 0.95 (:115-117).
 
 Limitations (flagged via the ``overflow`` output): requires dt_scale == 1
-(the slab-order identity) and per-tile-per-chunk footprints <=
+(the slab-order identity) and per-grid-step-per-chunk footprints <=
 (win_rows-9, 127) voxels — all BASELINE.json configs fit at >= 512x512
-output with the defaults (win_rows=64; 96 for 512^3 volumes).
+output with the auto-picked windows (auto_win_rows / pick_tiles_per_step:
+two fused 32x32 tiles per grid step with a 96-128 row window at >= 512^2
+on 256^3 volumes; single tiles otherwise).
 """
 
 from __future__ import annotations
@@ -670,6 +672,7 @@ def _unpack_tiles(x, ph, pw):
     jax.jit,
     static_argnames=(
         "dims", "max_steps", "srgb", "win_rows", "band_rows", "nb", "bstride",
+        "tiles_per_step",
     ),
 )
 def render_bonsai_rays_pallas(
@@ -683,6 +686,7 @@ def render_bonsai_rays_pallas(
     band_rows: int = 128,
     nb: int = 3,
     bstride: int = BAND_STRIDE,
+    tiles_per_step: int = 1,
 ):
     """March an arbitrary SoA ray set with the fused slab-march kernel —
     the Pallas analog of ops.reference.render_bonsai_rays, shared by the
@@ -712,9 +716,20 @@ def render_bonsai_rays_pallas(
     ins = [pack(x) for x in (dx, dy, dz, t_start, t1, hit.astype(jnp.float32))]
     eye_vec = jnp.stack([eye[0], eye[1], eye[2]]).astype(jnp.float32)
 
-    grid = (n_tiles,)
+    # tiles_per_step=2 fuses two horizontally-adjacent 32x32 tiles into one
+    # (16, 128) grid step — halves the per-step scalar machinery (class
+    # probes, chunk metas, DMA starts): measured 20.6 -> 17.7 ms at 1024^2
+    # (win 80-96). 4-tile fusion measured WORSE (21.4 ms at win 128: the
+    # quadrupled per-class window spans cost more scan/DMA than the saved
+    # steps). Guarded to divisible tile rows so fused pairs never wrap
+    # across image edges (a wrapped pair's union footprint spans the
+    # frame); windows must be sized for the PAIR footprint (auto_win_rows).
+    tps = tiles_per_step
+    if tps not in (2, 4) or (n_tiles % tps) or ((pw // TILE) % tps):
+        tps = 1
+    grid = (n_tiles // tps,)
     block = pl.BlockSpec(
-        (8, 128), lambda i, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
+        (8 * tps, 128), lambda i, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -756,7 +771,7 @@ def render_bonsai_rays_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "dims", "max_steps", "srgb", "win_rows",
-        "band_rows", "nb", "bstride",
+        "band_rows", "nb", "bstride", "tiles_per_step",
     ),
 )
 def _render_bonsai_pallas(
@@ -771,21 +786,44 @@ def _render_bonsai_pallas(
     band_rows: int = 128,
     nb: int = 3,
     bstride: int = BAND_STRIDE,
+    tiles_per_step: int = 1,
 ):
     eye, dxyz = geometry.rays_fragment_soa(camera_uniform, width, height)
     return render_bonsai_rays_pallas(
         vol_pack, eye, dxyz, dims, max_steps, srgb,
-        win_rows, band_rows, nb, bstride,
+        win_rows, band_rows, nb, bstride, tiles_per_step,
     )
 
 
-def auto_win_rows(dims: int, width: int, height: int) -> int:
-    """Window rows sized to the worst per-tile slab footprint: a TILE-pixel
-    tile at 90-degree fovy spans ~dims * TILE/min(w,h) * path voxels; +32
-    covers chunk growth, alignment, and tap spill. Measured needs: 64 at
-    1024^2, 80 at 512^2, 96 at 640x360 (256^3 volume)."""
-    est = (3 * dims * TILE) // max(min(width, height), 1) + 32
+def auto_win_rows(dims: int, width: int, height: int,
+                  tiles_per_step: int = 1) -> int:
+    """Window rows sized to the worst per-grid-step slab footprint: a
+    TILE*tiles_per_step-pixel step at 90-degree fovy spans
+    ~dims * edge/min(w,h) * path voxels; +32 covers chunk growth,
+    alignment, and tap spill. Measured needs: 64 at 1024^2, 80 at 512^2,
+    96 at 640x360 (256^3 volume, tps=1). Fused pairs get +16 headroom and
+    a 96-row floor: zoomed-out DIAGONAL poses overflow an est-sized pair
+    window (zoom 1.6 measured: 80 fails, 96 clean — the formula cannot
+    see zoom), and window size costs little (envelope scans + occupancy
+    gating keep work proportional to content, not window)."""
+    edge = TILE * tiles_per_step
+    est = (3 * dims * edge) // max(min(width, height), 1) + 32
+    if tiles_per_step == 2:
+        return max(96, min(128, (est + 16 + 7) // 8 * 8))
     return max(64, min(96, (est + 7) // 8 * 8))
+
+
+def pick_tiles_per_step(dims: int, width: int, height: int,
+                        cap: int = 128) -> int:
+    """Fuse two tiles per grid step when the PAIR's window footprint fits a
+    <=128-row window within ``cap`` (measured: 2-tile fusion wins 20.6 ->
+    ~16-17 ms at 1024^2 and 9.3 -> 8.0 ms at 512^2; the per-step scalar
+    machinery halves. 4-tile fusion measured worse. Window demand doubles
+    for the classes whose v-axis maps to image x, so small frames or large
+    volumes fall back to 1)."""
+    edge = 2 * TILE
+    est = (3 * dims * edge) // max(min(width, height), 1) + 32
+    return 2 if cap >= 96 and est <= min(cap, 128) else 1
 
 
 class BonsaiRenderer:
@@ -795,7 +833,7 @@ class BonsaiRenderer:
     (examples/bonsai/raycast.rs:12-141).
     """
 
-    def __init__(self, vol_u8, win_rows: int = 96):
+    def __init__(self, vol_u8, win_rows: int = 128):
         # layouts are built for the LARGEST window the renderer may use;
         # smaller per-call windows reuse the same bands
         (self.dims, self.band_rows, self.nb, self.bstride), self.layouts = prepare_volume(
@@ -821,13 +859,15 @@ class BonsaiRenderer:
         correct pixels at the cost of a device round-trip per frame (use for
         goldens/extreme poses; interactive paths read ``last_overflow``
         asynchronously instead)."""
+        tps = pick_tiles_per_step(self.dims, width, height,
+                                  cap=self.max_win_rows)
         if win_rows is None:
-            win_rows = min(auto_win_rows(self.dims, width, height),
+            win_rows = min(auto_win_rows(self.dims, width, height, tps),
                            self.max_win_rows)
         img, ovf = _render_bonsai_pallas(
             self.layouts, camera_uniform, width, height,
             self.dims, max_steps, srgb,
-            win_rows, self.band_rows, self.nb, self.bstride,
+            win_rows, self.band_rows, self.nb, self.bstride, tps,
         )
         self.last_overflow = ovf
         if strict and int(jax.device_get(ovf)) > 0:
@@ -840,23 +880,29 @@ class BonsaiRenderer:
         return img
 
 
-def build_renderer(vol_u8, win_rows: int = WIN_V, with_overflow: bool = False):
+def build_renderer(vol_u8, win_rows: int | None = None,
+                   with_overflow: bool = False):
     """Functional API for jit pipelines: returns (render_fn, pack) where
     render_fn(pack, camera_uniform, width, height) is jittable and the pack
     travels as ARGUMENTS (closing over it would bake ~100MB of constants
     into the HLO — catastrophic for this environment's remote compiles).
 
-    ``with_overflow=True`` makes render_fn return ``(img, overflow_count)``
-    so jit pipelines can check the kernel's only wrong-pixels signal
-    (a tile slab footprint exceeding the VMEM window); bench.py asserts it
-    is zero during warmup."""
-    (dims, band_rows, nb, bstride), pack = prepare_volume(vol_u8, win_rows)
+    ``win_rows`` caps the slab window (layouts are built for it; default 96
+    — per-call windows and the 2-tile grid-step fusion are auto-picked per
+    render size within the cap). ``with_overflow=True`` makes render_fn
+    return ``(img, overflow_count)`` so jit pipelines can check the
+    kernel's only wrong-pixels signal (a step's slab footprint exceeding
+    the VMEM window); bench.py asserts it is zero during warmup."""
+    cap = 128 if win_rows is None else win_rows
+    (dims, band_rows, nb, bstride), pack = prepare_volume(vol_u8, cap)
 
     def render(pk, camera_uniform, width, height,
                max_steps=MAX_STEPS_BONSAI, srgb=True):
+        tps = pick_tiles_per_step(dims, width, height, cap=cap)
+        win = min(auto_win_rows(dims, width, height, tps), cap)
         img, ovf = _render_bonsai_pallas(
             pk, camera_uniform, width, height, dims, max_steps, srgb,
-            win_rows, band_rows, nb, bstride,
+            win, band_rows, nb, bstride, tps,
         )
         return (img, ovf) if with_overflow else img
 
