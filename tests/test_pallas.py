@@ -106,6 +106,28 @@ def test_bonsai_kernel_matches_oracle():
     assert err.mean() < 1e-5
 
 
+def test_window_and_fusion_policy():
+    """auto_win_rows / pick_tiles_per_step encode TPU-measured tradeoffs:
+    fused pairs at large frames (96-row floor — est-sized windows overflow
+    zoomed-out diagonal poses), singles for small frames / big volumes."""
+    from vokselis_tpu.ops.pallas.march_bonsai import (
+        auto_win_rows,
+        pick_tiles_per_step,
+    )
+
+    assert pick_tiles_per_step(256, 1024, 1024) == 2
+    assert pick_tiles_per_step(256, 1920, 1080) == 2
+    assert pick_tiles_per_step(256, 512, 512) == 2
+    assert pick_tiles_per_step(256, 256, 256) == 1  # est 224 > 128
+    assert pick_tiles_per_step(512, 512, 512) == 1  # big volume
+    assert pick_tiles_per_step(256, 1024, 1024, cap=64) == 1  # small layout
+
+    assert auto_win_rows(256, 1024, 1024, 1) == 64
+    assert auto_win_rows(256, 1024, 1024, 2) == 96  # pair floor
+    assert auto_win_rows(256, 512, 512, 2) == 128
+    assert auto_win_rows(256, 512, 512, 1) == 80
+
+
 def test_bonsai_kernel_fused_tile_pairs():
     """tiles_per_step=2 (two 32x32 tiles per grid step — the 1024^2 default
     via pick_tiles_per_step) must match the oracle exactly. Small test

@@ -111,7 +111,8 @@ BAND_STRIDE_SMALL = 16  # for volumes <= 256^3 (layout stays < 1 GiB)
 # rows per row-scan unroll group: 16 re-measured best vs 8 (37.2 vs 34.7
 # Mrays/s at 1024^2) even WITH per-slab envelope ranges — dynamic-loop
 # iteration overhead outweighs the ~25% fewer scanned rows
-SCAN_GRP = 16
+# (env override for A/B experiments only)
+SCAN_GRP = int(os.environ.get("VOK_SCAN_GRP", "16"))
 
 
 def _march_kernel(
