@@ -370,10 +370,14 @@ def _march_kernel(
                     sv_hi = av_max + kpf * bv_max
                     lo_i = jnp.clip(jnp.floor(sv_lo) - 1.0, 0.0, fdims - 1.0)
                     hi_i = jnp.clip(jnp.floor(sv_hi) + 2.0, 0.0, fdims - 1.0)
+                    # clip to the chunk's EXACT row count too: the linear
+                    # class envelope is slack at chunk edges (per-ray
+                    # j-clamping), and active rays' taps provably lie in
+                    # [v_b2, v_b2 + n_rows) by the window construction
                     lo_rel = jnp.clip(lo_i.astype(jnp.int32) - v_b2, 0,
-                                      win_v - 1)
+                                      n_rows - 1)
                     hi_rel = jnp.clip(hi_i.astype(jnp.int32) - v_b2, 0,
-                                      win_v - 1)
+                                      n_rows - 1)
                     if _ABLATE == -5:  # experiment: whole-chunk scan
                         base8 = jnp.int32(0)
                         g_lo, g_hi = 0, (n_rows + SCAN_GRP - 1) // SCAN_GRP
