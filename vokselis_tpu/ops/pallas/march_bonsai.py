@@ -409,42 +409,53 @@ def _march_kernel(
                     iv1l = (iv1 - vb_f).astype(jnp.int32)
                     base_a = s_in * win_v
 
-                    def row_scan(ci, taps):
+                    def row_scan(ci, quads):
                         # unrolled x16: dynamic-loop iterations cost ~1us
                         # each on this target; over-scanning is safe (rows
                         # past the span never match a tap index; scratch
                         # padded +32 rows). x16 beat x4/x8 and a fully-static
-                        # 64-row scan (28.4 / 29.5 / 35.1 / 37.9 Mrays/s)
+                        # 64-row scan (28.4 / 29.5 / 35.1 / 37.9 Mrays/s).
+                        # The scan selects RAW int32 quads (one per v-row);
+                        # the bit decode + m-lerp run ONCE per slab after
+                        # the loop, not once per scanned row — the decode
+                        # (~11 vector ops) used to dominate the row body
+                        # ONE dynamic read per group (8-aligned start);
+                        # rows come out as static slices of the block —
+                        # replaces SCAN_GRP dynamic sublane reads
+                        blk = win2d[pl.ds(base_a + base8 + ci * SCAN_GRP,
+                                          SCAN_GRP), :]
                         for q in range(SCAN_GRP):
                             cc_ = base8 + ci * SCAN_GRP + q
-                            a00, a01, a10, a11 = taps
-                            row = jnp.broadcast_to(
-                                win2d[pl.ds(base_a + cc_, 1), :], u0.shape)
+                            q0a, q1a = quads
+                            row = jnp.broadcast_to(blk[q:q + 1, :], u0.shape)
                             # ONE gather per row: int32 quad holds both
-                            # slab-pair taps (u and u+1); bit-decode exact
+                            # slab-pair taps (u and u+1)
                             g = jnp.take_along_axis(row, iu0l, axis=1)
-                            a0_ = (g & 0xFF).astype(jnp.float32)
-                            b0 = ((g >> 8) & 0xFF).astype(jnp.float32)
-                            a1_ = ((g >> 16) & 0xFF).astype(jnp.float32)
-                            b1 = ((g >> 24) & 0xFF).astype(jnp.float32)
-                            t0 = a0_ + (b0 - a0_) * fm  # m-lerp fused/tap
-                            t1 = a1_ + (b1 - a1_) * fm
-                            m0 = iv0l == cc_
-                            m1 = iv1l == cc_
-                            taps = (
-                                jnp.where(m0, t0, a00),
-                                jnp.where(m0, t1, a01),
-                                jnp.where(m1, t0, a10),
-                                jnp.where(m1, t1, a11),
-                            )
-                        return taps
+                            # OR-accumulate with disjoint row masks (at most
+                            # one row matches each accumulator): associative,
+                            # so the 16 unrolled contributions reduce as a
+                            # tree instead of a 16-deep select chain
+                            s0 = -((iv0l == cc_).astype(jnp.int32))
+                            s1 = -((iv1l == cc_).astype(jnp.int32))
+                            quads = (q0a | (g & s0), q1a | (g & s1))
+                        return quads
 
                     if _ABLATE >= 1:
                         t00 = t01 = t10 = t11 = fu * 0.001
                     else:
-                        t00, t01, t10, t11 = lax.fori_loop(
-                            g_lo, g_hi, row_scan, (zero, zero, zero, zero)
-                        )
+                        zi = jnp.zeros(u0.shape, jnp.int32)
+                        q0, q1 = lax.fori_loop(g_lo, g_hi, row_scan, (zi, zi))
+
+                        def mlerp(g):
+                            a0_ = (g & 0xFF).astype(jnp.float32)
+                            b0 = ((g >> 8) & 0xFF).astype(jnp.float32)
+                            a1_ = ((g >> 16) & 0xFF).astype(jnp.float32)
+                            b1 = ((g >> 24) & 0xFF).astype(jnp.float32)
+                            # m-lerp fused per tap; exact bit math (<= 255)
+                            return a0_ + (b0 - a0_) * fm, a1_ + (b1 - a1_) * fm
+
+                        t00, t01 = mlerp(q0)
+                        t10, t11 = mlerp(q1)
                     # low-edge u clamp (see u_low above)
                     t01 = jnp.where(u_low, t00, t01)
                     t11 = jnp.where(u_low, t10, t11)
