@@ -123,9 +123,10 @@ def test_window_and_fusion_policy():
     assert pick_tiles_per_step(256, 1024, 1024, cap=64) == 1  # small layout
 
     assert auto_win_rows(256, 1024, 1024, 1) == 64
+    assert auto_win_rows(256, 640, 360, 1) == 112  # 96 overflowed
     assert auto_win_rows(256, 1024, 1024, 2) == 96  # pair floor
     assert auto_win_rows(256, 512, 512, 2) == 128
-    assert auto_win_rows(256, 512, 512, 1) == 80
+    assert auto_win_rows(256, 512, 512, 1) == 88
 
 
 def test_bonsai_kernel_fused_tile_pairs():

@@ -826,7 +826,10 @@ def auto_win_rows(dims: int, width: int, height: int,
     est = (3 * dims * edge) // max(min(width, height), 1) + 32
     if tiles_per_step == 2:
         return max(96, min(128, (est + 16 + 7) // 8 * 8))
-    return max(64, min(96, (est + 7) // 8 * 8))
+    # single tiles: +8 headroom, cap at the 128-row layout default (a
+    # 96-row cap overflowed 2 tiles at 640x360 — flagged, found via the
+    # parity report's stale-scratch-dependent max error)
+    return max(64, min(128, (est + 8 + 7) // 8 * 8))
 
 
 def pick_tiles_per_step(dims: int, width: int, height: int,
