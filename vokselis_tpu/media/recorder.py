@@ -157,13 +157,8 @@ class Recorder:
             "-preset", "slow",
             "-tune", "animation",
             "-pix_fmt", "yuv420p",
-            "-vf", "vflip",  # not needed for our top-down frames but harmless parity knob
             "-an", out,
         ]
-        # our frames are already top-down; the reference pipes bottom-up wgpu
-        # rows without a flip, so drop the vflip for identical orientation
-        args.remove("-vf")
-        args.remove("vflip")
         print(f"recording video to {out}")
         return subprocess.Popen(
             args, stdin=subprocess.PIPE,

@@ -822,14 +822,22 @@ def auto_win_rows(dims: int, width: int, height: int,
     window (zoom 1.6 measured: 80 fails, 96 clean — the formula cannot
     see zoom), and window size costs little (envelope scans + occupancy
     gating keep work proportional to content, not window)."""
-    edge = TILE * tiles_per_step
-    est = (3 * dims * edge) // max(min(width, height), 1) + 32
     if tiles_per_step == 2:
-        return max(96, min(128, (est + 16 + 7) // 8 * 8))
+        return min(128, _pair_window_demand(dims, width, height))
     # single tiles: +8 headroom, cap at the 128-row layout default (a
     # 96-row cap overflowed 2 tiles at 640x360 — flagged, found via the
     # parity report's stale-scratch-dependent max error)
+    est = (3 * dims * TILE) // max(min(width, height), 1) + 32
     return max(64, min(128, (est + 8 + 7) // 8 * 8))
+
+
+def _pair_window_demand(dims: int, width: int, height: int) -> int:
+    """Window rows a fused 2-tile step wants, before the 128-row layout
+    clamp (auto_win_rows' tps=2 formula). The 128 clamp is empirically
+    sufficient at 512^2 (demand 144 -> 128, pose-sweep clean) — the
+    formula is conservative — but a cap BELOW the demand is not."""
+    est = (3 * dims * 2 * TILE) // max(min(width, height), 1) + 32
+    return max(96, (est + 16 + 7) // 8 * 8)
 
 
 def pick_tiles_per_step(dims: int, width: int, height: int,
@@ -839,10 +847,14 @@ def pick_tiles_per_step(dims: int, width: int, height: int,
     ~16-17 ms at 1024^2 and 9.3 -> 8.0 ms at 512^2; the per-step scalar
     machinery halves. 4-tile fusion measured worse. Window demand doubles
     for the classes whose v-axis maps to image x, so small frames or large
-    volumes fall back to 1)."""
-    edge = 2 * TILE
-    est = (3 * dims * edge) // max(min(width, height), 1) + 32
-    return 2 if cap >= 96 and est <= min(cap, 128) else 1
+    volumes fall back to 1). Gates on the window auto_win_rows would
+    actually pick, so a custom cap in [96, 127] never selects fusion whose
+    demanded window exceeds the cap (advisor finding, round 2); big-volume
+    cases (demand far beyond 128, e.g. 512^3 @512^2 est 224) stay
+    unfused via the est<=128 term."""
+    est = (3 * dims * 2 * TILE) // max(min(width, height), 1) + 32
+    demand = min(128, _pair_window_demand(dims, width, height))
+    return 2 if est <= 128 and demand <= min(cap, 128) else 1
 
 
 class BonsaiRenderer:
@@ -890,12 +902,23 @@ class BonsaiRenderer:
         )
         self.last_overflow = ovf
         if strict and int(jax.device_get(ovf)) > 0:
-            from vokselis_tpu.ops import reference
+            # retry with the most forgiving kernel config first (largest
+            # window, no tile fusion) — ms, not the ~47 s/frame oracle
+            if win_rows < self.max_win_rows or tps != 1:
+                img, ovf = _render_bonsai_pallas(
+                    self.layouts, camera_uniform, width, height,
+                    self.dims, max_steps, srgb,
+                    self.max_win_rows, self.band_rows, self.nb,
+                    self.bstride, 1,
+                )
+                self.last_overflow = ovf
+            if int(jax.device_get(self.last_overflow)) > 0:
+                from vokselis_tpu.ops import reference
 
-            img = reference.render_bonsai(
-                jnp.asarray(self._vol), camera_uniform, width=width,
-                height=height, max_steps=max_steps, srgb=srgb,
-            )
+                img = reference.render_bonsai(
+                    jnp.asarray(self._vol), camera_uniform, width=width,
+                    height=height, max_steps=max_steps, srgb=srgb,
+                )
         return img
 
 
@@ -906,7 +929,7 @@ def build_renderer(vol_u8, win_rows: int | None = None,
     travels as ARGUMENTS (closing over it would bake ~100MB of constants
     into the HLO — catastrophic for this environment's remote compiles).
 
-    ``win_rows`` caps the slab window (layouts are built for it; default 96
+    ``win_rows`` caps the slab window (layouts are built for it; default 128
     — per-call windows and the 2-tile grid-step fusion are auto-picked per
     render size within the cap). ``with_overflow=True`` makes render_fn
     return ``(img, overflow_count)`` so jit pipelines can check the

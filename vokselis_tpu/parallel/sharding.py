@@ -137,13 +137,22 @@ def render_views_sharded(
 
 
 def build_ray_renderer(vol_u8, force_oracle: bool | None = None,
-                       win_rows: int = 64):
+                       win_rows: int = 128, full_frame=None,
+                       with_overflow: bool = False):
     """Backend-appropriate ``(render_rays, pack)`` pair with the ray-set
-    signature ``render_rays(pack, eye, (dx, dy, dz), max_steps)`` -> (H, W, 4):
+    signature ``render_rays(pack, eye, (dx, dy, dz), max_steps)`` -> (H, W, 4)
+    (or ``((H, W, 4), overflow_count)`` with ``with_overflow=True``):
     the fused Pallas slab-march's ray entry on TPU
     (ops.pallas.march_bonsai.render_bonsai_rays_pallas), the jnp oracle's
     (ops.reference.render_bonsai_rays) elsewhere. This is what the
-    row-sharded single-frame path marches each chip's band with."""
+    row-sharded single-frame path marches each chip's band with.
+
+    ``win_rows`` caps the slab window (layouts are built for it); the
+    per-call window is sized by ``auto_win_rows`` for the FULL frame —
+    pass ``full_frame=(width, height)`` when each call's ray set is a
+    shard band, because a band's per-tile slab footprint is set by the
+    full frame's ray divergence, not the band's shape (advisor finding,
+    round 2: a pinned 64-row window overflows at 512^2+)."""
     use_oracle = (
         force_oracle
         if force_oracle is not None
@@ -152,6 +161,8 @@ def build_ray_renderer(vol_u8, force_oracle: bool | None = None,
     if not use_oracle:
         from vokselis_tpu.ops.pallas.march_bonsai import (
             MAX_STEPS_BONSAI,
+            auto_win_rows,
+            pick_tiles_per_step,
             prepare_volume,
             render_bonsai_rays_pallas,
         )
@@ -161,11 +172,15 @@ def build_ray_renderer(vol_u8, force_oracle: bool | None = None,
         )
 
         def render_rays(pk, eye, dxyz, max_steps=MAX_STEPS_BONSAI):
-            img, _ovf = render_bonsai_rays_pallas(
+            h, w = dxyz[0].shape
+            fw, fh = full_frame if full_frame is not None else (w, h)
+            tps = pick_tiles_per_step(dims, fw, fh, cap=win_rows)
+            win = min(auto_win_rows(dims, fw, fh, tps), win_rows)
+            img, ovf = render_bonsai_rays_pallas(
                 pk, eye, dxyz, dims, max_steps, True,
-                win_rows, band_rows, nb, bstride,
+                win, band_rows, nb, bstride, tps,
             )
-            return img
+            return (img, ovf) if with_overflow else img
 
         return render_rays, pack
 
@@ -175,7 +190,8 @@ def build_ray_renderer(vol_u8, force_oracle: bool | None = None,
 
     def render_rays(pk, eye, dxyz, max_steps=MAX_STEPS_BONSAI):
         dirs = jnp.stack(dxyz, axis=-1)
-        return render_bonsai_rays(pk[0], eye, dirs, max_steps=max_steps)
+        img = render_bonsai_rays(pk[0], eye, dirs, max_steps=max_steps)
+        return (img, jnp.int32(0)) if with_overflow else img
 
     return render_rays, pack
 
@@ -188,6 +204,7 @@ def render_frame_tiled(
     height: int,
     max_steps: int = 64,
     renderer=None,
+    with_overflow: bool = False,
 ):
     """Render ONE frame with its rows sharded over the 'tiles' axis — the
     multi-chip descendant of the xor demo's 256^2-tile dispatch
@@ -200,21 +217,30 @@ def render_frame_tiled(
     assembles the frame on every chip.
 
     ``renderer``: optional ``(render_rays, pack)`` pair from
-    :func:`build_ray_renderer`; ``vol`` is ignored when given."""
+    :func:`build_ray_renderer` built with ``with_overflow=True`` and
+    ``full_frame=(width, height)``; ``vol`` is ignored when given.
+    ``with_overflow=True`` returns ``(frame, overflow_count)`` — the
+    psum over every chip's kernel overflow flag, the only wrong-pixels
+    signal (mirrors BonsaiRenderer.last_overflow)."""
     from vokselis_tpu.core import geometry
 
     n_tiles = mesh.shape["tiles"]
     assert height % n_tiles == 0
 
     render_rays, pack = (
-        renderer if renderer is not None else build_ray_renderer(vol)
+        renderer if renderer is not None
+        else build_ray_renderer(vol, full_frame=(width, height),
+                                with_overflow=True)
     )
     eye, (dx, dy, dz) = geometry.rays_fragment_soa(cam, width, height)
 
     def local_step(pack_l, eye_l, dx_l, dy_l, dz_l):
-        img = render_rays(pack_l, eye_l, (dx_l, dy_l, dz_l),
+        out = render_rays(pack_l, eye_l, (dx_l, dy_l, dz_l),
                           max_steps=max_steps)
-        return jax.lax.all_gather(img, "tiles", axis=0, tiled=True)
+        img, ovf = out if isinstance(out, tuple) else (out, jnp.int32(0))
+        img = jax.lax.all_gather(img, "tiles", axis=0, tiled=True)
+        ovf = jax.lax.psum(ovf, "tiles")
+        return img, ovf
 
     pack_spec = jax.tree.map(lambda _: P(), pack)
     row_spec = P("tiles")
@@ -222,9 +248,10 @@ def render_frame_tiled(
         local_step,
         mesh,
         (pack_spec, P(), row_spec, row_spec, row_spec),
-        P(),
+        (P(), P()),
     )
-    return jax.jit(fn)(pack, eye, dx, dy, dz)
+    img, ovf = jax.jit(fn)(pack, eye, dx, dy, dz)
+    return (img, ovf) if with_overflow else img
 
 
 def multi_view_step(mesh: Mesh, vol, n_views: int, width: int, height: int,
