@@ -1,0 +1,173 @@
+"""Hybrid bonsai renderer: fast shear-warp frame + exact re-march of
+silhouette-flagged tiles.
+
+The fast mode's error is CONCENTRATED: the dominant term is the final
+homography warp's bilinear reconstruction of composited colors across
+silhouette discontinuities, plus side-entry sample phase — both live on a
+small set of high-contrast screen tiles (tools/hybrid_design.py, round 3:
+reaching mean err <= 8e-4 at 1024^2 needs the worst 0.1-10% of 32x32
+tiles replaced; a screen-space contrast ranking finds them within ~1.5x
+of the oracle ranking). So:
+
+1. render the whole frame with the MXU shear-warp path (ops.shear_warp),
+   in linear color;
+2. score every 32x32 tile by its local contrast (|dx| + |dy| of the
+   linear luminance, tile-mean) — silhouettes and volume edges rank top;
+3. re-march the top ``budget`` tiles whose score clears ``thresh`` with
+   the EXACT Pallas slab-march (ops.pallas.march_bonsai
+   .render_bonsai_tiles_pallas) and scatter the exact pixels over the
+   fast frame (padded selections point at an all-miss tile and drop on
+   scatter).
+
+The result keeps the fast mode's throughput scaling (exact work ~ budget,
+not frame area) while the measured error meets the <= 1e-3 budget vs the
+oracle (PARITY_REPORT.md). Matches shaders/raycast_naive.wgsl:84-125.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vokselis_tpu.core import geometry
+from vokselis_tpu.core.colors import linear_to_srgb
+from vokselis_tpu.ops.pallas.march_bonsai import (
+    MAX_STEPS_BONSAI,
+    TILE,
+    _pack_tiles,
+    _unpack_tiles,
+    auto_win_rows,
+    prepare_volume,
+    render_bonsai_tiles_pallas,
+)
+from vokselis_tpu.ops.shear_warp import _render_fast, prepare_fast_volume
+from vokselis_tpu.utils.grid import cdiv
+
+# tile-contrast threshold below which a tile is never re-marched: tuned on
+# the round-3 pose set (tools/hybrid_design.py) so easy poses spend
+# near-zero exact work while hard poses fill the budget
+DEFAULT_THRESH = 5e-3
+DEFAULT_BUDGET = 128
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "intermediate", "budget", "srgb",
+                     "dims", "win_rows", "band_rows", "nb", "bstride",
+                     "max_steps"),
+)
+def _render_hybrid(
+    packs,
+    layouts,
+    camera_uniform,
+    thresh,
+    width: int,
+    height: int,
+    intermediate: int,
+    budget: int,
+    srgb: bool,
+    dims: int,
+    win_rows: int,
+    band_rows: int,
+    nb: int,
+    bstride: int,
+    max_steps: int = MAX_STEPS_BONSAI,
+):
+    # 1. fast frame in LINEAR color (srgb once, after the merge)
+    img = _render_fast(packs, camera_uniform, width, height, intermediate,
+                       False)
+    rgb = img[..., :3]
+
+    # 2. per-tile contrast score
+    lum = rgb.mean(axis=-1)
+    gx = jnp.abs(jnp.diff(lum, axis=1, prepend=lum[:, :1]))
+    gy = jnp.abs(jnp.diff(lum, axis=0, prepend=lum[:1]))
+    edge = gx + gy
+    ny, nx = height // TILE, width // TILE
+    n_tiles = ny * nx
+    scores = edge.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3)).reshape(-1)
+
+    vals, ids = jax.lax.top_k(scores, budget)
+    ids = jnp.where(vals > thresh, ids, n_tiles)  # park below-thresh picks
+
+    # 3. exact re-march of the selected tiles
+    eye, dxyz = geometry.rays_fragment_soa(camera_uniform, width, height)
+    planes, ovf = render_bonsai_tiles_pallas(
+        layouts, eye, dxyz, ids, dims, max_steps,
+        win_rows, band_rows, nb, bstride,
+    )
+
+    # 4. scatter exact rows over the packed fast planes (OOB rows drop)
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+    rows = (ids[:, None] * 8 + jnp.arange(8)[None, :]).reshape(-1)
+    merged = []
+    for ch in range(3):
+        packed = _pack_tiles(
+            jnp.pad(rgb[..., ch], ((0, ph - height), (0, pw - width))), ph, pw
+        )
+        packed = packed.at[rows].set(planes[ch], mode="drop")
+        merged.append(_unpack_tiles(packed, ph, pw)[:height, :width])
+    out = jnp.stack(merged, axis=-1)
+    if srgb:
+        out = linear_to_srgb(out)
+    alpha = jnp.ones((height, width, 1), jnp.float32)
+    return jnp.concatenate([out, alpha], axis=-1), ovf
+
+
+class HybridBonsaiRenderer:
+    """renderer="hybrid": shear-warp frame + exact re-march of the worst
+    tiles. Call like BonsaiRenderer; ``last_overflow`` mirrors the exact
+    kernel's window-overflow signal for the re-marched tiles."""
+
+    def __init__(self, vol_u8, intermediate: int = 512,
+                 budget: int = DEFAULT_BUDGET, thresh: float = DEFAULT_THRESH,
+                 win_cap: int = 128):
+        vol_u8 = np.asarray(vol_u8)
+        self.packs = prepare_fast_volume(vol_u8)
+        (self.dims, self.band_rows, self.nb, self.bstride), self.layouts = (
+            prepare_volume(vol_u8, win_cap)
+        )
+        self.win_cap = win_cap
+        self.intermediate = intermediate
+        self.budget = budget
+        self.thresh = thresh
+        self.last_overflow = 0
+
+    def __call__(self, camera_uniform, width: int = 1280, height: int = 720,
+                 max_steps: int = MAX_STEPS_BONSAI, srgb: bool = True,
+                 budget: int | None = None):
+        win = min(auto_win_rows(self.dims, width, height, 1), self.win_cap)
+        img, ovf = _render_hybrid(
+            self.packs, self.layouts, camera_uniform,
+            jnp.float32(self.thresh), width, height, self.intermediate,
+            budget or self.budget, srgb, self.dims, win,
+            self.band_rows, self.nb, self.bstride, max_steps,
+        )
+        self.last_overflow = ovf
+        return img
+
+
+def build_hybrid_renderer(vol_u8, intermediate: int = 512,
+                          budget: int = DEFAULT_BUDGET,
+                          thresh: float = DEFAULT_THRESH, win_cap: int = 128):
+    """Functional (render, pack) pair: render(pack, cam, width, height)
+    -> (H, W, 4); the pack tuple travels as jit arguments."""
+    r = HybridBonsaiRenderer(vol_u8, intermediate, budget, thresh, win_cap)
+    pack = (r.packs, r.layouts)
+
+    def render(pk, camera_uniform, width, height,
+               max_steps=MAX_STEPS_BONSAI, srgb=True):
+        packs, layouts = pk
+        win = min(auto_win_rows(r.dims, width, height, 1), r.win_cap)
+        img, _ovf = _render_hybrid(
+            packs, layouts, camera_uniform, jnp.float32(thresh),
+            width, height, intermediate, budget, srgb,
+            r.dims, win, r.band_rows, r.nb, r.bstride, max_steps,
+        )
+        return img
+
+    return render, pack

@@ -783,6 +783,93 @@ def render_bonsai_rays_pallas(
     return jnp.concatenate([rgb, alpha], axis=-1), n_ovf
 
 
+def _march_kernel_ids(ids_ref, crange_ref, occ_ref, *args, **kwargs):
+    """_march_kernel behind a tile-id indirection prefetch (the ids only
+    drive the BlockSpec index maps; the kernel body never reads them)."""
+    del ids_ref
+    return _march_kernel(crange_ref, occ_ref, *args, **kwargs)
+
+
+def render_bonsai_tiles_pallas(
+    vol_pack,
+    eye,
+    dxyz,  # SoA ray directions for the FULL frame: (dx, dy, dz), (H, W) f32
+    tile_ids,  # (n_sel,) int32 — 32x32 tile ids to march; pad with n_tiles
+    dims: int,
+    max_steps: int = MAX_STEPS_BONSAI,
+    win_rows: int = WIN_V,
+    band_rows: int = 128,
+    nb: int = 3,
+    bstride: int = BAND_STRIDE,
+):
+    """March ONLY the listed 32x32 tiles of the frame — the hybrid
+    renderer's exact-refinement pass (re-march silhouette-flagged tiles of
+    the fast shear-warp frame with the exact kernel; matches
+    shaders/raycast_naive.wgsl:84-125 like the full-frame entry).
+
+    ``tile_ids`` entries equal to ``n_tiles`` (= padded count for a static
+    selection budget) index an appended ALL-MISS tile: its rays belong to
+    no class, so the grid step costs only the class probes. Returns
+    (compact linear-rgb planes (n_sel*8, 128) x4, overflow count); scatter
+    rows ``tile_ids[i]*8 + r`` back into the packed frame (padded entries
+    land out of bounds and drop).
+    """
+    vol_chunks, occ, cranges = vol_pack
+    dx, dy, dz = dxyz
+    height, width = dx.shape
+    ex = jnp.broadcast_to(eye[0], dx.shape)
+    ey = jnp.broadcast_to(eye[1], dx.shape)
+    ez = jnp.broadcast_to(eye[2], dx.shape)
+    t0, t1 = geometry.intersect_box_soa(ex, ey, ez, dx, dy, dz, 0.0, 1.0)
+    hit = t0 <= t1
+    t_start = jnp.maximum(t0, 0.0)
+
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+
+    def pack(x):
+        p = _pack_tiles(jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw)
+        return jnp.pad(p, ((0, 8), (0, 0)))  # all-miss tile for padded ids
+
+    n_sel = tile_ids.shape[0]
+    ins = [pack(x) for x in (dx, dy, dz, t_start, t1, hit.astype(jnp.float32))]
+    eye_vec = jnp.stack([eye[0], eye[1], eye[2]]).astype(jnp.float32)
+
+    in_block = pl.BlockSpec(
+        (8, 128), lambda i, ids, _cr, _occ: (ids[i], 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_block = pl.BlockSpec(
+        (8, 128), lambda i, _ids, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_sel,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [in_block] * 6,
+        out_specs=[out_block] * 5,
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
+            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
+            pltpu.VMEM((CHUNK * min(win_rows, dims) + 32, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    outs = pl.pallas_call(
+        partial(_march_kernel_ids, dims=dims, win_rows=win_rows,
+                band_rows=band_rows, nb=nb, bstride=bstride,
+                max_steps=max_steps),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_sel * 8, 128), jnp.float32)] * 5,
+    )(tile_ids.astype(jnp.int32), cranges.reshape(-1), occ, eye_vec,
+      vol_chunks, *ins)
+    n_ovf = jnp.sum(outs[4]).astype(jnp.int32)
+    return outs[:4], n_ovf
+
+
 @partial(
     jax.jit,
     static_argnames=(

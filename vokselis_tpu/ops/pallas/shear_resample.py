@@ -1,0 +1,290 @@
+"""Fused resample + chunk-compacted composite for the fast shear-warp mode.
+
+Round-2's pipeline materialized the (G, I, I) resampled slab stack through
+XLA (weights in HBM, two dot_generals, an occupancy pass, a relayout
+transpose) and then composited it with a per-slab ``lax.cond`` fori — the
+round-3 profile (tools/profile_fast.py) put that composite at ~4.6-5 ms of
+the 5.5 ms frame at I=512: 256 slabs x 256 blocks of dynamic-loop
+iterations, each paying the Mosaic fixed iteration cost plus ~5
+transcendentals, with the occupancy skip still charging loop+cond overhead
+for every EMPTY slab.
+
+This module restructures both halves around the march kernel's proven
+occupancy-compaction pattern (ops.pallas.march_bonsai):
+
+- ``resample_slabs``: ONE Pallas kernel builds the bilinear weights
+  on-the-fly in VMEM (wu (D,128) per u-block, wv (D,I) once per slab) and
+  runs both MXU matmuls, writing the resampled slab directly in the
+  composite's chunked block layout — (chunk, row-block, u-block, slab, 8,
+  128) bf16. The weight stacks, the f32 (G, I, I) intermediate and the
+  relayout transpose never touch HBM.
+- ``composite_chunks``: per (8, 128) block, XLA compacts the occupied
+  8-slab chunks into a scalar-prefetched, marching-ordered id list; the
+  kernel double-buffers one 16 KiB DMA per OCCUPIED chunk and composites
+  its 8 slabs with a statically unrolled loop — empty space costs nothing
+  (no iteration, no cond, no DMA), saturated blocks skip chunk compute via
+  one reduce, and every DMA start has an unconditional matching wait
+  (starts are strictly index-gated below the loop bound).
+
+Matches shaders/raycast_naive.wgsl:101-117 through the shared
+bonsai_transfer_soa + the two exact composite corrections documented in
+ops.shear_warp (off-dominant-axis rate irho, per-pixel 0.95 stop).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vokselis_tpu.core.colors import bonsai_transfer_soa
+
+# precision experiment knob shared with ops.shear_warp (see there)
+_SLAB_DTYPE = (
+    jnp.float32 if os.environ.get("VOK_FAST_F32", "0") == "1" else jnp.bfloat16
+)
+
+OCC_EPS = 0.1  # slabs whose block max <= 0.1 are no-ops: smoothstep(0.10,..)
+
+
+def _resample_kernel(
+    pos_u_ref,  # (gp, 128) f32 — all slabs' u positions for this u-block
+    pos_v_ref,  # (gp, I) f32 — all slabs' v positions
+    vol_ref,  # (1, D, D) volume slab (bf16)
+    out_ref,  # (1, nrb, 1, 1, 8, 128) chunked-layout slab block
+    wv_ref,  # scratch (D, I) weights, built once per slab (ub == 0)
+    *,
+    d: int,
+    ii: int,
+    nrb: int,
+):
+    k = pl.program_id(0)
+    ub = pl.program_id(1)
+
+    @pl.when(ub == 0)
+    def _():
+        # wv stored TRANSPOSED (D rows, I lanes): iota rides sublanes, the
+        # position row broadcasts over lanes — no (1, I) -> (I, 1) relayout
+        dv = lax.broadcasted_iota(jnp.int32, (d, ii), 0).astype(jnp.float32)
+        pv = pos_v_ref[pl.ds(k, 1), :]  # (1, I)
+        wv_ref[:] = jnp.maximum(0.0, 1.0 - jnp.abs(pv - dv)).astype(
+            _SLAB_DTYPE
+        )
+
+    du = lax.broadcasted_iota(jnp.int32, (d, 128), 0).astype(jnp.float32)
+    pu = pos_u_ref[pl.ds(k, 1), :]  # (1, 128)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu - du)).astype(_SLAB_DTYPE)
+
+    # tmp[dv, u] = sum_du vol[dv, du] wu[du, u] — (D, D) @ (D, 128) MXU
+    tmp = lax.dot_general(
+        vol_ref[0], wu, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(_SLAB_DTYPE)
+    # res[i, u] = sum_dv wv_t[dv, i] tmp[dv, u] — contract sublanes of both
+    res = lax.dot_general(
+        wv_ref[:], tmp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (I, 128) f32
+
+    out_ref[0, :, 0, 0, :, :] = res.reshape(nrb, 8, 128).astype(_SLAB_DTYPE)
+
+
+def resample_slabs(volm, pos_u, pos_v, interpret: bool = False):
+    """Resample every slab onto the intermediate grid, in chunked layout.
+
+    volm: (G, D, D) bf16 half-shifted slab-major volume (axis m pack).
+    pos_u/pos_v: (gp, I) f32 ref-plane sample positions per slab (rows
+    k >= G padded with an off-grid sentinel so their weights are all 0).
+    Returns res: (C, nrb, n_ub, 8, 8, 128) with C = gp//8 slab chunks.
+    """
+    g, d, _ = volm.shape
+    gp, ii = pos_u.shape
+    assert gp % 8 == 0 and ii % 128 == 0 and ii % 8 == 0
+    n_ub = ii // 128
+    nrb = ii // 8
+    c = gp // 8
+
+    return pl.pallas_call(
+        partial(_resample_kernel, d=d, ii=ii, nrb=nrb),
+        grid=(gp, n_ub),
+        in_specs=[
+            pl.BlockSpec((gp, 128), lambda k, ub: (0, ub),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, ii), lambda k, ub: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d), lambda k, ub: (jnp.minimum(k, g - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nrb, 1, 1, 8, 128),
+            lambda k, ub: (k // 8, 0, ub, k % 8, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, nrb, n_ub, 8, 8, 128), _SLAB_DTYPE),
+        scratch_shapes=[pltpu.VMEM((d, ii), _SLAB_DTYPE)],
+        interpret=interpret,
+    )(pos_u, pos_v, volm)
+
+
+def _composite_chunks_kernel(
+    meta_ref,  # scalar-prefetch (1,): sgn
+    nocc_ref,  # scalar-prefetch (n_blocks,): occupied-chunk counts
+    ids_ref,  # scalar-prefetch (n_blocks * C,): marching-ordered chunk ids
+    res_hbm,  # (C * n_blocks, 8, 8, 128) chunked slab stacks
+    irho_ref,  # (8, 128) per-pixel exact steps per slab
+    out_r, out_g, out_b, out_a,
+    buf_a, buf_b,  # scratch (8, 8, 128)
+    sem_a, sem_b,
+    *,
+    n_blocks: int,
+    c: int,
+):
+    ti = pl.program_id(0)
+    sgn = meta_ref[0]
+    n = nocc_ref[ti]
+    irho = irho_ref[:]
+    zero = jnp.zeros((8, 128), jnp.float32)
+
+    def cid(t):
+        return ids_ref[ti * c + jnp.clip(t, 0, c - 1)]
+
+    def dma(buf, sem, t):
+        return pltpu.make_async_copy(
+            res_hbm.at[cid(t) * n_blocks + ti], buf, sem
+        )
+
+    def process(buf, t, carry):
+        def run(carry):
+            r, g, b, a = carry
+            for s in range(8):
+                idx = jnp.where(sgn > 0, s, 7 - s)
+                resv = buf[idx].astype(jnp.float32)
+                tv, cr, cg, cb = bonsai_transfer_soa(resv)
+                # exact-march rate: irho >= 1 steps per slab telescope to
+                # alpha 1-(1-tv)^irho (ops.shear_warp module docstring)
+                tv = 1.0 - jnp.exp(irho * jnp.log(1.0 - tv))
+                # reference's per-pixel march stop at alpha 0.95
+                live = (a < 0.95).astype(jnp.float32)
+                w = (1.0 - a) * tv * live
+                r, g, b, a = r + w * cr, g + w * cg, b + w * cb, a + w
+            return r, g, b, a
+
+        r, g, b, a = carry
+        return lax.cond(
+            (t < n) & (jnp.min(a) < 0.95), run, lambda cy: cy, carry
+        )
+
+    @pl.when(n > 0)
+    def _():
+        dma(buf_a, sem_a, 0).start()
+
+    @pl.when(n > 1)
+    def _():
+        dma(buf_b, sem_b, 1).start()
+
+    def body(carry):
+        t, r, g, b, a = carry
+
+        @pl.when(t < n)
+        def _():
+            dma(buf_a, sem_a, t).wait()
+
+        r, g, b, a = process(buf_a, t, (r, g, b, a))
+
+        @pl.when(t + 2 < n)
+        def _():
+            dma(buf_a, sem_a, t + 2).start()
+
+        @pl.when(t + 1 < n)
+        def _():
+            dma(buf_b, sem_b, t + 1).wait()
+
+        r, g, b, a = process(buf_b, t + 1, (r, g, b, a))
+
+        @pl.when(t + 3 < n)
+        def _():
+            dma(buf_b, sem_b, t + 3).start()
+
+        return t + 2, r, g, b, a
+
+    def cond(carry):
+        return carry[0] < n
+
+    _, r, g, b, a = lax.while_loop(
+        cond, body, (jnp.int32(0), zero, zero, zero, zero)
+    )
+    out_r[:] = r
+    out_g[:] = g
+    out_b[:] = b
+    out_a[:] = a
+
+
+def composite_chunks(res, sgn, irho, interpret: bool = False):
+    """Chunk-compacted front-to-back composite.
+
+    res: (C, nrb, n_ub, 8, 8, 128) chunked slab stacks (resample_slabs).
+    sgn: traced +-1 marching direction along the slab axis.
+    irho: (I, I) per-pixel exact steps per slab (>= 1).
+    Returns (r, g, b, a) planes, each (I, I) f32.
+    """
+    c, nrb, n_ub, _, _, _ = res.shape
+    ii = nrb * 8
+    iw = n_ub * 128
+    n_blocks = nrb * n_ub
+
+    # occupied-chunk compaction at exactly the composite's granularity:
+    # one reduce over the chunked stack (bf16), then tiny n_blocks x C math
+    occ = jnp.max(
+        res.astype(jnp.float32), axis=(3, 4, 5)
+    ) > OCC_EPS  # (C, nrb, n_ub)
+    occ_b = occ.transpose(1, 2, 0).reshape(n_blocks, c)
+    cids = jnp.arange(c, dtype=jnp.int32)
+    ord_pos = jnp.where(sgn > 0, cids, c - 1 - cids)
+    key = jnp.where(occ_b, ord_pos[None, :], jnp.int32(2 * c))
+    ids = jnp.argsort(key, axis=1).astype(jnp.int32).reshape(-1)
+    nocc = occ_b.sum(axis=1).astype(jnp.int32)
+
+    irho_blocks = irho.reshape(nrb, 8, n_ub, 128).transpose(0, 2, 1, 3).reshape(
+        n_blocks * 8, 128
+    )
+    meta = jnp.asarray([sgn], jnp.int32).reshape(1)
+    res_flat = res.reshape(c * n_blocks, 8, 8, 128)
+
+    block_spec = pl.BlockSpec(
+        (8, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), block_spec],
+        out_specs=[block_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, 128), _SLAB_DTYPE),
+            pltpu.VMEM((8, 8, 128), _SLAB_DTYPE),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    outs = pl.pallas_call(
+        partial(_composite_chunks_kernel, n_blocks=n_blocks, c=c),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32)] * 4,
+        interpret=interpret,
+    )(meta, nocc, ids, res_flat, irho_blocks)
+
+    return [
+        o.reshape(nrb, n_ub, 8, 128).transpose(0, 2, 1, 3).reshape(ii, iw)
+        for o in outs
+    ]
+
+
+def resample_composite(volm, pos_u, pos_v, sgn, irho,
+                       interpret: bool = False):
+    """resample_slabs + composite_chunks in one call -> (r, g, b, a)."""
+    res = resample_slabs(volm, pos_u, pos_v, interpret=interpret)
+    return composite_chunks(res, sgn, irho, interpret=interpret)

@@ -185,33 +185,23 @@ def _render_fast(
     )  # (I_v, I_u)
 
     if jax.default_backend() == "tpu":
-        # one batched matmul pair resamples EVERY slab, then the fused
-        # Pallas composite walks each (8,128) block's slab stack with the
-        # rgba carry in registers (the XLA loop below round-trips the
-        # carry through HBM per slab — measured HBM-bound)
-        from vokselis_tpu.ops.pallas.composite import composite_pallas
+        # fused Pallas resample (on-the-fly weights + both MXU matmuls,
+        # chunked output layout) + chunk-compacted composite — the round-2
+        # separate-composite path spent ~4.6 ms/frame at I=512 on per-slab
+        # dynamic-loop overhead (see ops.pallas.shear_resample docstring)
+        from vokselis_tpu.ops.pallas.shear_resample import resample_composite
 
-        cols = jnp.arange(d, dtype=jnp.float32)
-        ks = jnp.arange(dm1, dtype=jnp.float32) + 0.5
-        s_k = (ks - em) / denom_ref  # (G,)
-        pos_u = eu + s_k[:, None] * (grid_u[None, :] - eu)  # (G, I)
+        gp = (dm1 + 7) // 8 * 8
+        ks = jnp.arange(gp, dtype=jnp.float32) + 0.5
+        s_k = (ks - em) / denom_ref  # (gp,)
+        pos_u = eu + s_k[:, None] * (grid_u[None, :] - eu)  # (gp, I)
         pos_v = ev + s_k[:, None] * (grid_v[None, :] - ev)
-        wu = jnp.maximum(
-            0.0, 1.0 - jnp.abs(pos_u[:, None, :] - cols[None, :, None])
-        ).astype(_MM_DTYPE)  # (G, D, I)
-        wv = jnp.maximum(
-            0.0, 1.0 - jnp.abs(pos_v[:, None, :] - cols[None, :, None])
-        ).astype(_MM_DTYPE)
-        tmp = jax.lax.dot_general(
-            volm.astype(_MM_DTYPE), wu, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(_MM_DTYPE)  # (G, Dv, I)
-        res = jax.lax.dot_general(
-            wv, tmp, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (G, I_v, I_u) f32
+        # pad slabs k >= G: off-grid sentinel -> all-zero weights
+        valid = (jnp.arange(gp) < dm1)[:, None]
+        pos_u = jnp.where(valid, pos_u, -1e6)
+        pos_v = jnp.where(valid, pos_v, -1e6)
         sgn_i = jnp.where(sgn > 0, 1, -1).astype(jnp.int32)
-        r, g, b, a = composite_pallas(res, sgn_i, irho)
+        r, g, b, a = resample_composite(volm, pos_u, pos_v, sgn_i, irho)
         return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu,
                                ev, denom_ref, u_lo, v_lo, su, sv, height,
                                width, srgb)
