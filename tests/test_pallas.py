@@ -23,18 +23,19 @@ def force_interpret(monkeypatch):
 
     monkeypatch.setattr(pl, "pallas_call", patched)
     # reload kernel modules so they pick up the patched pallas_call
+    # (ops.hybrid last: it imports march_bonsai's functions by name)
     import importlib
     import vokselis_tpu.ops.pallas.march_field as mf
     import vokselis_tpu.ops.pallas.march_bonsai as mb
     import vokselis_tpu.ops.pallas.genvol as gv
+    import vokselis_tpu.ops.pallas.shear_resample as sr
+    import vokselis_tpu.ops.hybrid as hy
 
-    importlib.reload(mf)
-    importlib.reload(mb)
-    importlib.reload(gv)
+    for mod in (mf, mb, gv, sr, hy):
+        importlib.reload(mod)
     yield
-    importlib.reload(mf)
-    importlib.reload(mb)
-    importlib.reload(gv)
+    for mod in (mf, mb, gv, sr, hy):
+        importlib.reload(mod)
 
 
 def test_field_kernel_matches_oracle():
@@ -276,3 +277,164 @@ def test_bonsai_kernel_border_volume_parity():
         assert int(np.asarray(r.last_overflow)) == 0
         assert err.max() < 1e-3, err.max()
         assert err.mean() < 1e-5
+
+
+def test_resample_composite_matches_dense_reference():
+    """shear_resample's fused resample + chunk-compacted composite vs a
+    dense jnp resample + sequential composite, both marching directions
+    (f32 slabs so the comparison isolates logic, not bf16 rounding)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import vokselis_tpu.ops.pallas.shear_resample as sr
+    from vokselis_tpu.core.colors import bonsai_transfer_soa
+
+    sr._SLAB_DTYPE = jnp.float32
+    rng = np.random.default_rng(0)
+    d, g, ii = 32, 31, 128
+    vol = jnp.asarray(
+        rng.random((g, d, d)) * (rng.random((g, d, d)) > 0.7), jnp.float32
+    )
+    gp = 32
+    em, denom = -50.0, 70.0
+    s_k = (np.arange(gp) + 0.5 - em) / denom
+    grid = np.linspace(-5, d + 5, ii)
+    pos_u = em + s_k[:, None] * (grid[None, :] - em)
+    pos_v = em + s_k[:, None] * (grid[None, :] * 0.9 - em)
+    valid = (np.arange(gp) < g)[:, None]
+    pos_u = jnp.asarray(np.where(valid, pos_u, -1e6), jnp.float32)
+    pos_v = jnp.asarray(np.where(valid, pos_v, -1e6), jnp.float32)
+    irho = jnp.asarray(1.0 + rng.random((ii, ii)), jnp.float32)
+
+    cols = np.arange(d)
+    wu = np.maximum(0, 1 - np.abs(np.asarray(pos_u)[:, None, :] - cols[None, :, None]))
+    wv = np.maximum(0, 1 - np.abs(np.asarray(pos_v)[:, None, :] - cols[None, :, None]))
+    res_ref = np.einsum(
+        "kvi,kvd,kdu->kiu", wv.astype(np.float32),
+        np.pad(np.asarray(vol), ((0, gp - g), (0, 0), (0, 0))),
+        wu.astype(np.float32),
+    )
+    for sgn in (1, -1):
+        planes = sr.resample_composite(
+            vol, pos_u, pos_v, jnp.int32(sgn), irho
+        )
+        order = range(gp) if sgn > 0 else range(gp - 1, -1, -1)
+        acc = [np.zeros((ii, ii)) for _ in range(4)]
+        irho_n = np.asarray(irho)
+        for k in order:
+            tv, cr, cg, cb = [
+                np.asarray(x) for x in bonsai_transfer_soa(jnp.asarray(res_ref[k]))
+            ]
+            tv = 1 - np.exp(irho_n * np.log(1 - tv))
+            live = (acc[3] < 0.95).astype(np.float32)
+            w = (1 - acc[3]) * tv * live
+            for ch, cc in enumerate((cr, cg, cb)):
+                acc[ch] += w * cc
+            acc[3] += w
+        for got, want in zip(planes, acc):
+            assert np.abs(np.asarray(got) - want).max() < 1e-4
+
+
+def test_tiles_subset_matches_full_march():
+    """render_bonsai_tiles_pallas marches exactly the listed tiles (same
+    pixels as the full-frame entry) and padded ids drop on scatter."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vokselis_tpu.core import geometry
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.volume.io import get_bonsai
+    import vokselis_tpu.ops.pallas.march_bonsai as mb
+
+    vol = get_bonsai(32)
+    meta, pack = mb.prepare_volume(vol, 64)
+    dims, band_rows, nb, bstride = meta
+    u = Camera.bonsai(1.0).uniform()
+    w = h = 64  # 2x2 tiles
+    eye, dxyz = geometry.rays_fragment_soa(u, w, h)
+    full, _ = mb.render_bonsai_rays_pallas(
+        pack, eye, dxyz, dims, 64, False, 64, band_rows, nb, bstride
+    )
+    full_packed = mb._pack_tiles(full[..., 0], h, w)
+
+    ids = jnp.asarray([2, 1, 4], jnp.int32)  # 4 = padded (all-miss)
+    planes, ovf = mb.render_bonsai_tiles_pallas(
+        pack, eye, dxyz, ids, dims, 64, 64, band_rows, nb, bstride
+    )
+    assert int(ovf) == 0
+    for i, tid in enumerate((2, 1)):
+        got = np.asarray(planes[0][i * 8:(i + 1) * 8])
+        want = np.asarray(full_packed[tid * 8:(tid + 1) * 8])
+        assert np.abs(got - want).max() < 1e-6, tid
+    # padded entry: all-miss tile -> black
+    assert np.abs(np.asarray(planes[0][16:24])).max() == 0.0
+
+
+def test_hybrid_full_budget_matches_exact():
+    """With budget = every tile and thresh 0 the hybrid frame IS the exact
+    kernel frame (fast pixels fully replaced)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vokselis_tpu.core import geometry
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.core.colors import linear_to_srgb
+    from vokselis_tpu.volume.io import get_bonsai
+    import vokselis_tpu.ops.pallas.march_bonsai as mb
+    import vokselis_tpu.ops.hybrid as hy
+
+    vol = get_bonsai(32)
+    u = Camera.bonsai(1.0).uniform()
+    w = h = 64
+    r = hy.HybridBonsaiRenderer(vol, intermediate=128, budget=4,
+                                thresh=-1.0, win_cap=64)
+    img_h = np.asarray(r(u, w, h))
+
+    meta, pack = mb.prepare_volume(vol, 64)
+    dims, band_rows, nb, bstride = meta
+    eye, dxyz = geometry.rays_fragment_soa(u, w, h)
+    img_e, _ = mb.render_bonsai_rays_pallas(
+        pack, eye, dxyz, dims, mb.MAX_STEPS_BONSAI, True,
+        64, band_rows, nb, bstride,
+    )
+    assert np.abs(img_h[..., :3] - np.asarray(img_e)[..., :3]).max() < 1e-5
+
+
+def test_prepare_volume_device_matches_host():
+    """Device (jit) repack is bit-identical to the host numpy pack — the
+    config-5 time-varying path swaps them freely."""
+    import numpy as np
+    import jax.numpy as jnp
+    import vokselis_tpu.ops.pallas.march_bonsai as mb
+
+    rng = np.random.default_rng(3)
+    for d in (16, 32):
+        vol = ((rng.random((d, d, d)) > 0.6)
+               * rng.integers(0, 255, (d, d, d))).astype(np.uint8)
+        meta, pack = mb.prepare_volume(vol, 64)
+        assert meta == mb.volume_layout_meta(d, 64)
+        dev = mb.prepare_volume_device(jnp.asarray(vol), 64)
+        for name, a, b in zip(("banded", "occ", "cranges"), pack, dev):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape and a.dtype == b.dtype, name
+            assert (a == b).all(), name
+
+
+def test_generate_density_u8_matches_field():
+    """The config-5 device volume generator quantizes the radially-masked
+    fbm alpha exactly like a direct field evaluation."""
+    import numpy as np
+    import jax.numpy as jnp
+    import vokselis_tpu.ops.pallas.genvol as gv
+    from vokselis_tpu.volume import fields_soa
+
+    d = 16
+    got = np.asarray(gv.generate_density_u8_pallas(1.25, d, tile_z=8,
+                                                   tile_y=8))
+    half = d / 2.0
+    z, y, x = np.meshgrid(*([np.arange(d, dtype=np.float32)] * 3),
+                          indexing="ij")
+    cx, cy, cz = (x - half) / d, (y - half) / d, (z - half) / d
+    sin_t = jnp.sin(jnp.float32(1.25))
+    _, alpha = fields_soa.noise_volume(
+        jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(cz), sin_t
+    )
+    want = np.clip(np.asarray(alpha) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all()

@@ -81,3 +81,51 @@ def generate_xor_volumes_pallas(
     density = jnp.stack([val / 2.0, val / 2.0, val / 2.0, alpha], axis=-1)
     normal = jnp.stack([nx, ny, nz, nmag], axis=-1)
     return density, normal
+
+
+def _gendensity_kernel(sin_t_ref, out_ref, *, dims, tile_z, tile_y):
+    sin_t = sin_t_ref[0]
+    zi = pl.program_id(0)
+    yi = pl.program_id(1)
+    half = dims / 2.0
+    z = (
+        zi * tile_z
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_z, tile_y, dims), 0)
+    ).astype(jnp.float32)
+    y = (
+        yi * tile_y
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_z, tile_y, dims), 1)
+    ).astype(jnp.float32)
+    x = jax.lax.broadcasted_iota(jnp.int32, (tile_z, tile_y, dims), 2).astype(
+        jnp.float32
+    )
+    cx, cy, cz = (x - half) / dims, (y - half) / dims, (z - half) / dims
+    _, alpha = fields_soa.noise_volume(cx, cy, cz, sin_t)
+    out_ref[:] = alpha
+
+
+@partial(jax.jit, static_argnames=("dims", "tile_z", "tile_y", "interpret"))
+def generate_density_u8_pallas(
+    time=0.0, dims: int = 512, tile_z: int = 8, tile_y: int = 64,
+    interpret: bool = False,
+):
+    """Time-varying u8 density volume, generated on-device — the config-5
+    per-batch-step volume update (the reference's analog is the xor
+    compute fill re-dispatched per update, shaders/xor.wgsl:69-77; here
+    the radially-masked fbm alpha field at arbitrary ``dims``, quantized
+    to the bonsai march kernel's uint8 voxel format)."""
+    time = jnp.asarray(time, jnp.float32)
+    sin_t = jnp.sin(time * 1.0).reshape(1)
+    grid = (dims // tile_z, dims // tile_y)
+    block = pl.BlockSpec(
+        (tile_z, tile_y, dims), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    alpha = pl.pallas_call(
+        partial(_gendensity_kernel, dims=dims, tile_z=tile_z, tile_y=tile_y),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((dims, dims, dims), jnp.float32),
+        interpret=interpret,
+    )(sin_t)
+    return jnp.clip(alpha * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)

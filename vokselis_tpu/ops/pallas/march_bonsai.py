@@ -616,10 +616,7 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
         2: vol_np,  # m=z: [z][y][x] (v=y, u=x)
     }
     n_chunks = cdiv(d + 1, CHUNK)
-    win = min(max_win_rows, d)
-    bstride = BAND_STRIDE_SMALL if d <= 256 else BAND_STRIDE
-    band_rows = min(d, round_up(bstride + win, 8))
-    nb = 1 if d <= band_rows else cdiv(d - band_rows, bstride) + 1
+    _, band_rows, nb, bstride = volume_layout_meta(d, max_win_rows)
 
     idx = np.clip(
         (np.arange(n_chunks)[:, None] * CHUNK - 1) + np.arange(CHUNK + 1)[None, :],
@@ -670,6 +667,80 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
     meta = (d, band_rows, nb, bstride)
     pack = (jnp.asarray(banded), jnp.asarray(occ), jnp.asarray(cranges))
     return meta, pack
+
+
+@partial(jax.jit, static_argnames=("max_win_rows",))
+def prepare_volume_device(vol_u8, max_win_rows: int = WIN_V):
+    """Device-side (jit) mirror of :func:`prepare_volume` — same six banded
+    slab-pair layouts, occupancy tables and per-class chunk ranges, built
+    from a TRACED uint8 volume so a time-varying density (config 5's
+    per-batch volume update, ops.pallas.genvol.generate_density_u8_pallas)
+    can be re-packed in the frame loop instead of through seconds of host
+    numpy. Bit-identical to the host pack (tested); the statics
+    (dims, band_rows, nb, bstride) follow the same formulas and are
+    returned by :func:`volume_layout_meta`."""
+    d = vol_u8.shape[0]
+    assert vol_u8.dtype == jnp.uint8 and vol_u8.shape == (d, d, d)
+    n_chunks = cdiv(d + 1, CHUNK)
+    dims, band_rows, nb, bstride = volume_layout_meta(d, max_win_rows)
+
+    base = {
+        0: jnp.transpose(vol_u8, (2, 0, 1)),
+        1: jnp.transpose(vol_u8, (1, 0, 2)),
+        2: vol_u8,
+    }
+    idx = jnp.clip(
+        (jnp.arange(n_chunks)[:, None] * CHUNK - 1)
+        + jnp.arange(CHUNK + 1)[None, :],
+        0,
+        d - 1,
+    )
+    stacks = []
+    for m in range(3):
+        for s in (1, -1):
+            lay = base[m] if s > 0 else base[m][::-1]
+            stacks.append(lay[idx])
+    chunks = jnp.stack(stacks).reshape(-1, CHUNK + 1, d, d)
+
+    pairs = chunks[:, :CHUNK].astype(jnp.uint16) | (
+        chunks[:, 1:].astype(jnp.uint16) << 8
+    )
+
+    pad_rows = (nb - 1) * bstride + band_rows
+    padded = jnp.pad(pairs, ((0, 0), (0, 0), (0, pad_rows - d), (0, 0)))
+    banded = jnp.stack(
+        [padded[:, :, b * bstride : b * bstride + band_rows, :]
+         for b in range(nb)],
+        axis=1,
+    ).reshape(-1, CHUNK, band_rows, d)
+
+    nub = max(d // OCC_U, 1)
+    occ3d = (
+        chunks.reshape(chunks.shape[0], CHUNK + 1, d // OCC_V, OCC_V, nub,
+                       d // nub)
+        > 0
+    ).any(axis=(1, 3, 5))
+    occ = occ3d.astype(jnp.int32).reshape(-1)
+    nonempty = occ3d.any(axis=(1, 2)).reshape(6, n_chunks)
+    any_cls = nonempty.any(axis=1)
+    first = jnp.argmax(nonempty, axis=1).astype(jnp.int32)
+    last = (n_chunks - 1 - jnp.argmax(nonempty[:, ::-1], axis=1)).astype(
+        jnp.int32
+    )
+    cranges = jnp.stack(
+        [jnp.where(any_cls, first, 1), jnp.where(any_cls, last, 0)], axis=1
+    )
+    return banded, occ, cranges
+
+
+def volume_layout_meta(d: int, max_win_rows: int = WIN_V):
+    """The static layout parameters prepare_volume derives from the volume
+    edge: (dims, band_rows, nb, bstride)."""
+    win = min(max_win_rows, d)
+    bstride = BAND_STRIDE_SMALL if d <= 256 else BAND_STRIDE
+    band_rows = min(d, round_up(bstride + win, 8))
+    nb = 1 if d <= band_rows else cdiv(d - band_rows, bstride) + 1
+    return d, band_rows, nb, bstride
 
 
 def _pack_tiles(x, ph, pw):

@@ -81,69 +81,81 @@ def _warp_kernel(
     fa = jnp.clip(av - fav, 0.0, 1.0)
     fb = jnp.clip(bu - fbu, 0.0, 1.0)
 
-    big = float(max(ii, iw))
-    v_lo = jnp.min(jnp.where(hitm, iv0, big)).astype(jnp.int32)
-    v_hi = jnp.max(jnp.where(hitm, iv1, 0.0)).astype(jnp.int32)
-    u_lo = jnp.min(jnp.where(hitm, iu0, big)).astype(jnp.int32)
-
-    v_b = jnp.clip((v_lo // 8) * 8, 0, max(ii - win_rows, 0))
-    band = jnp.clip(v_b // BAND_STRIDE, 0, nb - 1)
-    v_loc = pl.multiple_of(v_b - band * BAND_STRIDE, 8)
-    u_b = jnp.clip(u_lo, 0, max(iw_pad - win_u, 0))
-    n_rows = jnp.clip(v_hi - v_b + 1, 1, win_rows)
-
-    cp = pltpu.make_async_copy(bands_hbm.at[band], buf, sem)
-    cp.start()
-
-    # per-pixel tap indices overlap the DMA latency
-    ub_f0 = u_b.astype(jnp.float32)
-    vb_f0 = v_b.astype(jnp.float32)
-    iu0l = jnp.clip((iu0 - ub_f0).astype(jnp.int32), 0, win_u - 1)
-    iu1l = jnp.clip((iu1 - ub_f0).astype(jnp.int32), 0, win_u - 1)
-    # clamp into the window: footprints beyond win_rows (extreme zoom)
-    # edge-extend instead of going dark — fast-mode artifact, not a crash
-    iv0l = jnp.clip((iv0 - vb_f0).astype(jnp.int32), 0, win_rows - 1)
-    iv1l = jnp.clip((iv1 - vb_f0).astype(jnp.int32), 0, win_rows - 1)
-
-    cp.wait()
-
-    for c in range(n_ch):
-        rolled = pltpu.roll(
-            buf[c, pl.ds(v_loc, win_rows), :].astype(jnp.float32), -u_b, 1
-        )[:, :win_u]
-        if win_u < 128:
-            rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
-        win[pl.ds(c * win_rows, win_rows), :] = rolled  # width iw_pad rolled
-
-    zero = jnp.zeros_like(av)
-
-    def row_scan(ci, taps):
-        # x8 unroll (dynamic-loop iterations have heavy fixed overhead)
-        for q in range(8):
-            cc = ci * 8 + q
-            new = []
-            for c in range(n_ch):
-                t0c, t1c = taps[2 * c], taps[2 * c + 1]
-                row = jnp.broadcast_to(
-                    win[pl.ds(c * win_rows + cc, 1), :], av.shape
-                )
-                g0 = jnp.take_along_axis(row, iu0l, axis=1)
-                g1 = jnp.take_along_axis(row, iu1l, axis=1)
-                t = g0 + (g1 - g0) * fb
-                m0 = iv0l == cc
-                m1 = iv1l == cc
-                new.append(jnp.where(m0, t, t0c))
-                new.append(jnp.where(m1, t, t1c))
-            taps = tuple(new)
-        return taps
-
-    taps0 = (zero,) * (2 * n_ch)
-    taps = lax.fori_loop(0, (n_rows + 7) // 8, row_scan, taps0)
-
     outs = (out_r, out_g, out_b)
-    for c in range(n_ch):
-        t0c, t1c = taps[2 * c], taps[2 * c + 1]
-        outs[c][:] = t0c + (t1c - t0c) * fa
+    any_hit = jnp.any(hitm)
+
+    # all-miss tiles (background is most of the frame at typical poses)
+    # skip the DMA and the row scan entirely: the caller masks non-hit
+    # pixels to black, so zeros are exact
+    @pl.when(jnp.logical_not(any_hit))
+    def _():
+        for c in range(n_ch):
+            outs[c][:] = jnp.zeros_like(avr[:])
+
+    @pl.when(any_hit)
+    def _():
+        big = float(max(ii, iw))
+        v_lo = jnp.min(jnp.where(hitm, iv0, big)).astype(jnp.int32)
+        v_hi = jnp.max(jnp.where(hitm, iv1, 0.0)).astype(jnp.int32)
+        u_lo = jnp.min(jnp.where(hitm, iu0, big)).astype(jnp.int32)
+
+        v_b = jnp.clip((v_lo // 8) * 8, 0, max(ii - win_rows, 0))
+        band = jnp.clip(v_b // BAND_STRIDE, 0, nb - 1)
+        v_loc = pl.multiple_of(v_b - band * BAND_STRIDE, 8)
+        u_b = jnp.clip(u_lo, 0, max(iw_pad - win_u, 0))
+        n_rows = jnp.clip(v_hi - v_b + 1, 1, win_rows)
+
+        cp = pltpu.make_async_copy(bands_hbm.at[band], buf, sem)
+        cp.start()
+
+        # per-pixel tap indices overlap the DMA latency
+        ub_f0 = u_b.astype(jnp.float32)
+        vb_f0 = v_b.astype(jnp.float32)
+        iu0l = jnp.clip((iu0 - ub_f0).astype(jnp.int32), 0, win_u - 1)
+        iu1l = jnp.clip((iu1 - ub_f0).astype(jnp.int32), 0, win_u - 1)
+        # clamp into the window: footprints beyond win_rows (extreme zoom)
+        # edge-extend instead of going dark — fast-mode artifact, not a crash
+        iv0l = jnp.clip((iv0 - vb_f0).astype(jnp.int32), 0, win_rows - 1)
+        iv1l = jnp.clip((iv1 - vb_f0).astype(jnp.int32), 0, win_rows - 1)
+
+        cp.wait()
+
+        for c in range(n_ch):
+            rolled = pltpu.roll(
+                buf[c, pl.ds(v_loc, win_rows), :].astype(jnp.float32), -u_b, 1
+            )[:, :win_u]
+            if win_u < 128:
+                rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
+            win[pl.ds(c * win_rows, win_rows), :] = rolled  # width iw_pad rolled
+
+        zero = jnp.zeros_like(av)
+
+        def row_scan(ci, taps):
+            # x8 unroll (dynamic-loop iterations have heavy fixed overhead)
+            for q in range(8):
+                cc = ci * 8 + q
+                new = []
+                for c in range(n_ch):
+                    t0c, t1c = taps[2 * c], taps[2 * c + 1]
+                    row = jnp.broadcast_to(
+                        win[pl.ds(c * win_rows + cc, 1), :], av.shape
+                    )
+                    g0 = jnp.take_along_axis(row, iu0l, axis=1)
+                    g1 = jnp.take_along_axis(row, iu1l, axis=1)
+                    t = g0 + (g1 - g0) * fb
+                    m0 = iv0l == cc
+                    m1 = iv1l == cc
+                    new.append(jnp.where(m0, t, t0c))
+                    new.append(jnp.where(m1, t, t1c))
+                taps = tuple(new)
+            return taps
+
+        taps0 = (zero,) * (2 * n_ch)
+        taps = lax.fori_loop(0, (n_rows + 7) // 8, row_scan, taps0)
+
+        for c in range(n_ch):
+            t0c, t1c = taps[2 * c], taps[2 * c + 1]
+            outs[c][:] = t0c + (t1c - t0c) * fa
 
 
 @partial(jax.jit, static_argnames=())
