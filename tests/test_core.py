@@ -177,3 +177,98 @@ class TestColors:
         assert v.shape == (7, 3)
         assert float(jnp.min(v)) >= 0.0 - 1e-6
         assert float(jnp.max(v)) <= 1.0 + 1e-6
+
+
+class TestPresentUpsamplers:
+    """The present.wgsl:41-92 quadratic + bicubic upsamplers (dead code
+    upstream, ported for completeness as present(filter=...))."""
+
+    @staticmethod
+    def _ref_bilinear(img, x, y):
+        h, w = img.shape[:2]
+        x0, y0 = np.floor(x), np.floor(y)
+        fx, fy = x - x0, y - y0
+        x0, y0 = int(x0), int(y0)
+        x0c, x1c = np.clip(x0, 0, w - 1), np.clip(x0 + 1, 0, w - 1)
+        y0c, y1c = np.clip(y0, 0, h - 1), np.clip(y0 + 1, 0, h - 1)
+        top = img[y0c, x0c] * (1 - fx) + img[y0c, x1c] * fx
+        bot = img[y1c, x0c] * (1 - fx) + img[y1c, x1c] * fx
+        return top * (1 - fy) + bot * fy
+
+    def test_partition_of_unity(self):
+        from vokselis_tpu.ops.present import present
+
+        const = jnp.full((12, 20, 4), 0.37, jnp.float32)
+        for filt in ("linear", "quadratic", "bicubic"):
+            out = np.asarray(present(const, out_height=30, out_width=44,
+                                     tonemap=False, filter=filt))
+            assert np.abs(out - 0.37).max() < 1e-5, filt
+
+    def test_quadratic_matches_wgsl_transliteration(self):
+        """Non-square source pins the shader's textureDimensions(tex).x
+        texel-size quirk (present.wgsl:42 uses .x for BOTH axes)."""
+        from vokselis_tpu.ops.present import present
+
+        rng = np.random.default_rng(0)
+        img = rng.random((8, 16, 4)).astype(np.float32)
+        oh, ow = 13, 23
+        out = np.asarray(present(jnp.asarray(img), out_height=oh,
+                                 out_width=ow, tonemap=False,
+                                 filter="quadratic"))
+        h, w = img.shape[:2]
+        n = float(w)  # .x quirk
+        want = np.zeros((oh, ow, 4), np.float32)
+        for j in range(oh):
+            for i in range(ow):
+                u, v = (i + 0.5) / ow, (j + 0.5) / oh
+                px, py = u * n, v * n
+                ix, iy = np.floor(px), np.floor(py)
+                fx, fy = px - ix, py - iy
+                pu, pv = (ix + fx * 0.5) / n, (iy + fy * 0.5) / n
+                fx = fx * fx * (3 - 2 * fx)
+                fy = fy * fy * (3 - 2 * fy)
+                wo = 0.5 / n
+                s = lambda du, dv: self._ref_bilinear(
+                    img, (pu + du) * w - 0.5, (pv + dv) * h - 0.5)
+                top = s(0, 0) * (1 - fx) + s(wo, 0) * fx
+                bot = s(0, wo) * (1 - fx) + s(wo, wo) * fx
+                want[j, i] = top * (1 - fy) + bot * fy
+        assert np.abs(out - want).max() < 1e-5
+
+    def test_bicubic_matches_wgsl_transliteration(self):
+        from vokselis_tpu.ops.present import present
+
+        rng = np.random.default_rng(1)
+        img = rng.random((9, 14, 4)).astype(np.float32)
+        oh, ow = 19, 27
+        out = np.asarray(present(jnp.asarray(img), out_height=oh,
+                                 out_width=ow, tonemap=False,
+                                 filter="bicubic"))
+        h, w = img.shape[:2]
+        w0 = lambda a: (1 / 6) * (a * (a * (-a + 3) - 3) + 1)
+        w1 = lambda a: (1 / 6) * (a * a * (3 * a - 6) + 4)
+        w2 = lambda a: (1 / 6) * (a * (a * (-3 * a + 3) + 3) + 1)
+        w3 = lambda a: (1 / 6) * (a * a * a)
+        g0 = lambda a: w0(a) + w1(a)
+        g1 = lambda a: w2(a) + w3(a)
+        h0 = lambda a: -1.0 + w1(a) / (w0(a) + w1(a))
+        h1 = lambda a: 1.0 + w3(a) / (w2(a) + w3(a))
+        want = np.zeros((oh, ow, 4), np.float32)
+        for j in range(oh):
+            for i in range(ow):
+                u, v = (i + 0.5) / ow, (j + 0.5) / oh
+                uvx, uvy = u * w + 0.5, v * h + 0.5
+                ix, iy = np.floor(uvx), np.floor(uvy)
+                fx, fy = uvx - ix, uvy - iy
+                want[j, i] = g0(fy) * (
+                    g0(fx) * self._ref_bilinear(img, ix + h0(fx) - 0.5,
+                                                iy + h0(fy) - 0.5)
+                    + g1(fx) * self._ref_bilinear(img, ix + h1(fx) - 0.5,
+                                                  iy + h0(fy) - 0.5)
+                ) + g1(fy) * (
+                    g0(fx) * self._ref_bilinear(img, ix + h0(fx) - 0.5,
+                                                iy + h1(fy) - 0.5)
+                    + g1(fx) * self._ref_bilinear(img, ix + h1(fx) - 0.5,
+                                                  iy + h1(fy) - 0.5)
+                )
+        assert np.abs(out - want).max() < 1e-5

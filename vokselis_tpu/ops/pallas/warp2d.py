@@ -44,6 +44,7 @@ _CH_DTYPE = (
 # capped at 48 (VMEM) — beyond-cap footprints edge-extend (fast mode)
 WIN_CAP = 48
 BAND_STRIDE = 16
+_GATE = os.environ.get("VOK_WARP_GATE", "1") == "1"
 
 
 def _win_rows(ii: int, height: int, width: int) -> int:
@@ -82,11 +83,12 @@ def _warp_kernel(
     fb = jnp.clip(bu - fbu, 0.0, 1.0)
 
     outs = (out_r, out_g, out_b)
-    any_hit = jnp.any(hitm)
-
     # all-miss tiles (background is most of the frame at typical poses)
     # skip the DMA and the row scan entirely: the caller masks non-hit
-    # pixels to black, so zeros are exact
+    # pixels to black, so zeros are exact. VOK_WARP_GATE=0 disables for
+    # A/B timing.
+    any_hit = jnp.any(hitm) if _GATE else jnp.bool_(True)
+
     @pl.when(jnp.logical_not(any_hit))
     def _():
         for c in range(n_ch):
