@@ -246,10 +246,36 @@ def bench_views_512(n_views=64, view_res=512):
     return rays / sec_batch / 1e6, sec_batch
 
 
+def measure_flagship_err(width=1024, height=1024):
+    """Mean per-pixel |rgb| error of the flagship Pallas kernel vs the jnp
+    oracle at the bench pose — the third driver metric (BASELINE.json:
+    'Mrays/sec/chip; p50 frame ms; per-pixel error vs ref'). The oracle
+    render is XLA-gather-bound (~50 s at 1024^2 on this tunnel) so it runs
+    ONCE; the full multi-pose picture lives in PARITY_REPORT.md."""
+    import numpy as np
+
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
+    from vokselis_tpu.ops.reference import render_bonsai
+    from vokselis_tpu.volume.io import get_bonsai
+
+    import jax.numpy as jnp
+
+    u0 = Camera.bonsai(1.0).uniform()
+    vol = get_bonsai()
+    render, pack = build_renderer(vol)
+    img = np.asarray(render(pack, u0, width, height))[..., :3]
+    ref = np.asarray(render_bonsai(jnp.asarray(vol), u0,
+                                   width=width, height=height))[..., :3]
+    return float(np.abs(img - ref).mean())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run every config")
     ap.add_argument("--cpu-oracle", action="store_true")
+    ap.add_argument("--skip-err", action="store_true",
+                    help="skip the ~50 s oracle render behind mean_err")
     args = ap.parse_args()
 
     import jax
@@ -286,12 +312,21 @@ def main():
         results["views512"] = (m, s)
         _log(f"config 5 512^3 64 views @512^2: {s*1000:.0f} ms/batch = {m:.1f} Mrays/s")
 
-    mrays = results["bonsai_1024"][0]
+    mrays, sec = results["bonsai_1024"]
+    if args.skip_err:
+        mean_err = None
+    elif args.cpu_oracle or jax.default_backend() != "tpu":
+        mean_err = 0.0  # the oracle IS the measured path
+    else:
+        mean_err = measure_flagship_err()
+        _log(f"flagship mean_err vs oracle at the bench pose: {mean_err:.3e}")
     print(json.dumps({
         "metric": "Mrays/sec/chip (bonsai 256^3 @ 1024^2, Pallas slab-march)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 500.0, 4),
+        "p50_ms": round(sec * 1000.0, 3),
+        "mean_err": None if mean_err is None else round(mean_err, 9),
     }))
 
 

@@ -368,6 +368,48 @@ def test_tiles_subset_matches_full_march():
     assert np.abs(np.asarray(planes[0][16:24])).max() == 0.0
 
 
+def test_tiles_into_merges_over_base():
+    """render_bonsai_tiles_into writes exact tiles IN PLACE over aliased
+    base planes: selected blocks match the full march, unselected blocks
+    keep the base values."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vokselis_tpu.core import geometry
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.volume.io import get_bonsai
+    import vokselis_tpu.ops.pallas.march_bonsai as mb
+
+    vol = get_bonsai(32)
+    meta, pack = mb.prepare_volume(vol, 64)
+    dims, band_rows, nb, bstride = meta
+    u = Camera.bonsai(1.0).uniform()
+    w = h = 64  # 2x2 tiles
+    eye, dxyz = geometry.rays_fragment_soa(u, w, h)
+    full, _ = mb.render_bonsai_rays_pallas(
+        pack, eye, dxyz, dims, 64, False, 64, band_rows, nb, bstride
+    )
+    full_packed = mb._pack_tiles(full[..., 0], h, w)
+
+    n_tiles = 4
+    base = tuple(
+        jnp.full(((n_tiles + 1) * 8, 128), 7.0 + ch, jnp.float32)
+        for ch in range(4)
+    )
+    ids = jnp.asarray([2, 1, 4], jnp.int32)  # 4 = padded (pad tile)
+    planes, ovf = mb.render_bonsai_tiles_into(
+        pack, base, eye, dxyz, ids, dims, 64, 64, band_rows, nb, bstride
+    )
+    assert int(ovf) == 0
+    got_r = np.asarray(planes[0])
+    for tid in (2, 1):
+        want = np.asarray(full_packed[tid * 8:(tid + 1) * 8])
+        assert np.abs(got_r[tid * 8:(tid + 1) * 8] - want).max() < 1e-6, tid
+    # unselected tiles keep the base value
+    for tid in (0, 3):
+        assert (got_r[tid * 8:(tid + 1) * 8] == 7.0).all(), tid
+    assert (np.asarray(planes[2])[0:8] == 9.0).all()
+
+
 def test_hybrid_full_budget_matches_exact():
     """With budget = every tile and thresh 0 the hybrid frame IS the exact
     kernel frame (fast pixels fully replaced)."""

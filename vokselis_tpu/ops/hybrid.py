@@ -41,7 +41,7 @@ from vokselis_tpu.ops.pallas.march_bonsai import (
     _unpack_tiles,
     auto_win_rows,
     prepare_volume,
-    render_bonsai_tiles_pallas,
+    render_bonsai_tiles_into,
 )
 from vokselis_tpu.ops.shear_warp import _render_fast, prepare_fast_volume
 from vokselis_tpu.utils.grid import cdiv
@@ -81,36 +81,50 @@ def _render_hybrid(
                        False)
     rgb = img[..., :3]
 
-    # 2. per-tile contrast score
+    # 2. per-tile silhouette score: edge energy weighted toward
+    # content/background boundaries (the true error tiles are the
+    # silhouette RIM, whose grazing rays are also the cheapest to
+    # re-march; a raw-contrast ranking drifts into dense fbm canopy —
+    # tools/hybrid_study2.py) plus a small raw-contrast term for inner
+    # silhouettes
     lum = rgb.mean(axis=-1)
     gx = jnp.abs(jnp.diff(lum, axis=1, prepend=lum[:, :1]))
     gy = jnp.abs(jnp.diff(lum, axis=0, prepend=lum[:1]))
     edge = gx + gy
+    near_black = jax.lax.reduce_window(
+        lum, jnp.inf, jax.lax.min, (5, 5), (1, 1), "SAME"
+    ) < 5e-3
     ny, nx = height // TILE, width // TILE
     n_tiles = ny * nx
-    scores = edge.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3)).reshape(-1)
+
+    def tile_mean(x):
+        return x.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3)).reshape(-1)
+
+    scores = tile_mean(edge * near_black) + 0.08 * tile_mean(edge)
 
     vals, ids = jax.lax.top_k(scores, budget)
     ids = jnp.where(vals > thresh, ids, n_tiles)  # park below-thresh picks
 
-    # 3. exact re-march of the selected tiles
+    # 3. exact re-march of the selected tiles, written IN PLACE over the
+    # packed fast planes via Pallas output aliasing (an XLA scatter here
+    # measured multi-ms — TPU scatters serialize)
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+
+    def pack_base(x):
+        p = _pack_tiles(jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw)
+        return jnp.pad(p, ((0, 8), (0, 0)))  # pad tile: parked ids land here
+
+    base = tuple(pack_base(rgb[..., ch]) for ch in range(3))
+    base = base + (jnp.zeros_like(base[0]),)
     eye, dxyz = geometry.rays_fragment_soa(camera_uniform, width, height)
-    planes, ovf = render_bonsai_tiles_pallas(
-        layouts, eye, dxyz, ids, dims, max_steps,
+    planes, ovf = render_bonsai_tiles_into(
+        layouts, base, eye, dxyz, ids, dims, max_steps,
         win_rows, band_rows, nb, bstride,
     )
 
-    # 4. scatter exact rows over the packed fast planes (OOB rows drop)
-    ph = cdiv(height, TILE) * TILE
-    pw = cdiv(width, TILE) * TILE
-    rows = (ids[:, None] * 8 + jnp.arange(8)[None, :]).reshape(-1)
-    merged = []
-    for ch in range(3):
-        packed = _pack_tiles(
-            jnp.pad(rgb[..., ch], ((0, ph - height), (0, pw - width))), ph, pw
-        )
-        packed = packed.at[rows].set(planes[ch], mode="drop")
-        merged.append(_unpack_tiles(packed, ph, pw)[:height, :width])
+    merged = [_unpack_tiles(p[:-8], ph, pw)[:height, :width]
+              for p in planes[:3]]
     out = jnp.stack(merged, axis=-1)
     if srgb:
         out = linear_to_srgb(out)
@@ -137,9 +151,11 @@ class HybridBonsaiRenderer:
         self.thresh = thresh
         self.last_overflow = 0
 
-    def __call__(self, camera_uniform, width: int = 1280, height: int = 720,
-                 max_steps: int = MAX_STEPS_BONSAI, srgb: bool = True,
-                 budget: int | None = None):
+    def _call_traced(self, camera_uniform, width: int = 1280,
+                     height: int = 720, max_steps: int = MAX_STEPS_BONSAI,
+                     srgb: bool = True, budget: int | None = None):
+        """Pure (img, ovf) form — safe to call under an outer jit trace
+        (no attribute mutation)."""
         win = min(auto_win_rows(self.dims, width, height, 1), self.win_cap)
         img, ovf = _render_hybrid(
             self.packs, self.layouts, camera_uniform,
@@ -147,6 +163,13 @@ class HybridBonsaiRenderer:
             budget or self.budget, srgb, self.dims, win,
             self.band_rows, self.nb, self.bstride, max_steps,
         )
+        return img, ovf
+
+    def __call__(self, camera_uniform, width: int = 1280, height: int = 720,
+                 max_steps: int = MAX_STEPS_BONSAI, srgb: bool = True,
+                 budget: int | None = None):
+        img, ovf = self._call_traced(camera_uniform, width, height,
+                                     max_steps, srgb, budget)
         self.last_overflow = ovf
         return img
 

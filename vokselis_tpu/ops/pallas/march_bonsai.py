@@ -941,6 +941,100 @@ def render_bonsai_tiles_pallas(
     return outs[:4], n_ovf
 
 
+def _march_kernel_ids_into(ids_ref, crange_ref, occ_ref, eye_ref, vol_hbm,
+                           dxr, dyr, dzr, tstr, t1r, hitr,
+                           br, bg, bb, ba, *args, **kwargs):
+    """_march_kernel behind tile-id indirection with aliased base planes:
+    the base refs only feed the output aliasing (never read in-kernel)."""
+    del ids_ref, br, bg, bb, ba
+    return _march_kernel(crange_ref, occ_ref, eye_ref, vol_hbm,
+                         dxr, dyr, dzr, tstr, t1r, hitr, *args, **kwargs)
+
+
+def render_bonsai_tiles_into(
+    vol_pack,
+    base_planes,  # 4-tuple of ((n_tiles + 1) * 8, 128) packed linear planes
+    eye,
+    dxyz,  # SoA ray directions for the FULL frame: (dx, dy, dz), (H, W) f32
+    tile_ids,  # (n_sel,) int32 — 32x32 tile ids to march; pad with n_tiles
+    dims: int,
+    max_steps: int = MAX_STEPS_BONSAI,
+    win_rows: int = WIN_V,
+    band_rows: int = 128,
+    nb: int = 3,
+    bstride: int = BAND_STRIDE,
+):
+    """render_bonsai_tiles_pallas, but the exact tiles are written IN PLACE
+    over donated base planes via Pallas output aliasing — no XLA scatter
+    (measured multi-ms at 1024^2: TPU scatters serialize). The base planes
+    are the fast frame's packed linear rgba with ONE extra trailing tile
+    row-block: padded ``tile_ids`` entries (== n_tiles) land there and the
+    caller slices it off. Returns (merged planes r/g/b/a, overflow count).
+    """
+    vol_chunks, occ, cranges = vol_pack
+    dx, dy, dz = dxyz
+    height, width = dx.shape
+    ex = jnp.broadcast_to(eye[0], dx.shape)
+    ey = jnp.broadcast_to(eye[1], dx.shape)
+    ez = jnp.broadcast_to(eye[2], dx.shape)
+    t0, t1 = geometry.intersect_box_soa(ex, ey, ez, dx, dy, dz, 0.0, 1.0)
+    hit = t0 <= t1
+    t_start = jnp.maximum(t0, 0.0)
+
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+    n_tiles = (ph // TILE) * (pw // TILE)
+
+    def pack(x):
+        p = _pack_tiles(jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw)
+        return jnp.pad(p, ((0, 8), (0, 0)))  # all-miss tile for padded ids
+
+    n_sel = tile_ids.shape[0]
+    ins = [pack(x) for x in (dx, dy, dz, t_start, t1, hit.astype(jnp.float32))]
+    eye_vec = jnp.stack([eye[0], eye[1], eye[2]]).astype(jnp.float32)
+    for bp in base_planes:
+        assert bp.shape == ((n_tiles + 1) * 8, 128), bp.shape
+
+    in_block = pl.BlockSpec(
+        (8, 128), lambda i, ids, _cr, _occ: (ids[i], 0),
+        memory_space=pltpu.VMEM,
+    )
+    sel_block = pl.BlockSpec(
+        (8, 128), lambda i, _ids, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_sel,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [in_block] * 10,
+        out_specs=[in_block] * 4 + [sel_block],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
+            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
+            pltpu.VMEM((CHUNK * min(win_rows, dims) + 32, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    # operand numbering for aliasing counts the scalar-prefetch args:
+    # 0 ids, 1 cranges, 2 occ, 3 eye, 4 vol, 5-10 rays, 11-14 base planes
+    outs = pl.pallas_call(
+        partial(_march_kernel_ids_into, dims=dims, win_rows=win_rows,
+                band_rows=band_rows, nb=nb, bstride=bstride,
+                max_steps=max_steps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(((n_tiles + 1) * 8, 128), jnp.float32)
+        ] * 4 + [jax.ShapeDtypeStruct((n_sel * 8, 128), jnp.float32)],
+        input_output_aliases={11: 0, 12: 1, 13: 2, 14: 3},
+    )(tile_ids.astype(jnp.int32), cranges.reshape(-1), occ, eye_vec,
+      vol_chunks, *ins, *base_planes)
+    n_ovf = jnp.sum(outs[4]).astype(jnp.int32)
+    return outs[:4], n_ovf
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -94,12 +94,62 @@ def _resample_kernel(
     out_ref[0, :, 0, 0, :, :] = res.reshape(nrb, 8, 128).astype(_SLAB_DTYPE)
 
 
-def resample_slabs(volm, pos_u, pos_v, interpret: bool = False):
+def _resample_kernel_gated(
+    occ_ref,  # scalar-prefetch (gp * n_ub,): volume-side pair occupancy
+    pos_u_ref, pos_v_ref, vol_ref, out_ref, wv_ref,
+    *,
+    d: int,
+    ii: int,
+    nrb: int,
+    n_ub: int,
+):
+    k = pl.program_id(0)
+    ub = pl.program_id(1)
+    hot = occ_ref[k * n_ub + ub] > 0
+
+    # wv build stays UNGATED: slab k's later u-blocks may be hot while
+    # (k, 0) is empty — gating it inside `hot` would feed them a stale wv
+    @pl.when(ub == 0)
+    def _():
+        dv = lax.broadcasted_iota(jnp.int32, (d, ii), 0).astype(jnp.float32)
+        pv = pos_v_ref[pl.ds(k, 1), :]  # (1, I)
+        wv_ref[:] = jnp.maximum(0.0, 1.0 - jnp.abs(pv - dv)).astype(
+            _SLAB_DTYPE
+        )
+
+    @pl.when(hot)
+    def _():
+        du = lax.broadcasted_iota(jnp.int32, (d, 128), 0).astype(jnp.float32)
+        pu = pos_u_ref[pl.ds(k, 1), :]  # (1, 128)
+        wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu - du)).astype(_SLAB_DTYPE)
+        tmp = lax.dot_general(
+            vol_ref[0], wu, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(_SLAB_DTYPE)
+        res = lax.dot_general(
+            wv_ref[:], tmp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (I, 128) f32
+        out_ref[0, :, 0, 0, :, :] = res.reshape(nrb, 8, 128).astype(
+            _SLAB_DTYPE
+        )
+
+    @pl.when(jnp.logical_not(hot))
+    def _():
+        # an empty window resamples below OCC_EPS -> transfer 0; write
+        # real zeros so un-gated composite chunks stay exact
+        out_ref[0, :, 0, 0, :, :] = jnp.zeros((nrb, 8, 128), _SLAB_DTYPE)
+
+
+def resample_slabs(volm, pos_u, pos_v, occ=None, interpret: bool = False):
     """Resample every slab onto the intermediate grid, in chunked layout.
 
     volm: (G, D, D) bf16 half-shifted slab-major volume (axis m pack).
     pos_u/pos_v: (gp, I) f32 ref-plane sample positions per slab (rows
     k >= G padded with an off-grid sentinel so their weights are all 0).
+    occ: optional (gp * n_ub,) int32 volume-side pair occupancy
+    (shear_warp's static group tables): empty pairs skip both matmuls and
+    write zeros.
     Returns res: (C, nrb, n_ub, 8, 8, 128) with C = gp//8 slab chunks.
     """
     g, d, _ = volm.shape
@@ -109,26 +159,44 @@ def resample_slabs(volm, pos_u, pos_v, interpret: bool = False):
     nrb = ii // 8
     c = gp // 8
 
-    return pl.pallas_call(
-        partial(_resample_kernel, d=d, ii=ii, nrb=nrb),
+    out_spec = pl.BlockSpec(
+        (1, nrb, 1, 1, 8, 128),
+        lambda k, ub, *_: (k // 8, 0, ub, k % 8, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((gp, 128), lambda k, ub, *_: (0, ub),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gp, ii), lambda k, ub, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, d), lambda k, ub, *_: (jnp.minimum(k, g - 1), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = jax.ShapeDtypeStruct((c, nrb, n_ub, 8, 8, 128), _SLAB_DTYPE)
+    scratch = [pltpu.VMEM((d, ii), _SLAB_DTYPE)]
+    if occ is None:
+        return pl.pallas_call(
+            partial(_resample_kernel, d=d, ii=ii, nrb=nrb),
+            grid=(gp, n_ub),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(pos_u, pos_v, volm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(gp, n_ub),
-        in_specs=[
-            pl.BlockSpec((gp, 128), lambda k, ub: (0, ub),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gp, ii), lambda k, ub: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, d), lambda k, ub: (jnp.minimum(k, g - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, nrb, 1, 1, 8, 128),
-            lambda k, ub: (k // 8, 0, ub, k % 8, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((c, nrb, n_ub, 8, 8, 128), _SLAB_DTYPE),
-        scratch_shapes=[pltpu.VMEM((d, ii), _SLAB_DTYPE)],
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        partial(_resample_kernel_gated, d=d, ii=ii, nrb=nrb, n_ub=n_ub),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(pos_u, pos_v, volm)
+    )(occ, pos_u, pos_v, volm)
 
 
 def _composite_chunks_kernel(
@@ -224,12 +292,15 @@ def _composite_chunks_kernel(
     out_a[:] = a
 
 
-def composite_chunks(res, sgn, irho, interpret: bool = False):
+def composite_chunks(res, sgn, irho, occ_b=None, interpret: bool = False):
     """Chunk-compacted front-to-back composite.
 
     res: (C, nrb, n_ub, 8, 8, 128) chunked slab stacks (resample_slabs).
     sgn: traced +-1 marching direction along the slab axis.
     irho: (I, I) per-pixel exact steps per slab (>= 1).
+    occ_b: optional (nrb * n_ub, C) bool chunk occupancy (shear_warp's
+    volume-side tables); without it, one full reduce over ``res`` derives
+    it from the resampled values.
     Returns (r, g, b, a) planes, each (I, I) f32.
     """
     c, nrb, n_ub, _, _, _ = res.shape
@@ -237,12 +308,13 @@ def composite_chunks(res, sgn, irho, interpret: bool = False):
     iw = n_ub * 128
     n_blocks = nrb * n_ub
 
-    # occupied-chunk compaction at exactly the composite's granularity:
-    # one reduce over the chunked stack (bf16), then tiny n_blocks x C math
-    occ = jnp.max(
-        res.astype(jnp.float32), axis=(3, 4, 5)
-    ) > OCC_EPS  # (C, nrb, n_ub)
-    occ_b = occ.transpose(1, 2, 0).reshape(n_blocks, c)
+    if occ_b is None:
+        # occupied-chunk compaction at the composite's granularity: one
+        # reduce over the chunked stack, then tiny n_blocks x C math
+        occ = jnp.max(
+            res.astype(jnp.float32), axis=(3, 4, 5)
+        ) > OCC_EPS  # (C, nrb, n_ub)
+        occ_b = occ.transpose(1, 2, 0).reshape(n_blocks, c)
     cids = jnp.arange(c, dtype=jnp.int32)
     ord_pos = jnp.where(sgn > 0, cids, c - 1 - cids)
     key = jnp.where(occ_b, ord_pos[None, :], jnp.int32(2 * c))
@@ -283,8 +355,8 @@ def composite_chunks(res, sgn, irho, interpret: bool = False):
     ]
 
 
-def resample_composite(volm, pos_u, pos_v, sgn, irho,
+def resample_composite(volm, pos_u, pos_v, sgn, irho, occ=None, occ_b=None,
                        interpret: bool = False):
     """resample_slabs + composite_chunks in one call -> (r, g, b, a)."""
-    res = resample_slabs(volm, pos_u, pos_v, interpret=interpret)
-    return composite_chunks(res, sgn, irho, interpret=interpret)
+    res = resample_slabs(volm, pos_u, pos_v, occ=occ, interpret=interpret)
+    return composite_chunks(res, sgn, irho, occ_b=occ_b, interpret=interpret)

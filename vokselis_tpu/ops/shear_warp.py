@@ -79,7 +79,17 @@ def prepare_fast_volume(vol_u8):
     axis (same axis conventions as march_bonsai.prepare_volume):
     m=0: [x][z][y], m=1: [y][z][x], m=2: [z][y][x]; each pre-blended
     0.5*(slab k + slab k+1) so a bilinear in-slab sample equals the exact
-    trilinear interpolant at m = k + 0.5 (D-1 slabs per axis)."""
+    trilinear interpolant at m = k + 0.5 (D-1 slabs per axis).
+
+    The 4th element is a pair of static occupancy tables (3, G, D//8)
+    bool: per-slab 8-column-group max > OCC_EPS along u (reduced over v)
+    and along v (reduced over u). A bilinear resample is a convex combo,
+    so a window whose table groups are all empty resamples to <= OCC_EPS
+    -> transfer 0: the frame path uses them to skip empty (slab, u-block)
+    resamples and to build the composite's chunk compaction WITHOUT the
+    round-3 profile's full (G, I, I) occupancy reduce over HBM."""
+    from vokselis_tpu.ops.pallas.shear_resample import OCC_EPS
+
     vol_np = np.asarray(vol_u8).astype(np.float32) / 255.0
     d = vol_np.shape[0]
     assert vol_np.shape == (d, d, d)
@@ -88,13 +98,34 @@ def prepare_fast_volume(vol_u8):
         1: np.transpose(vol_np, (1, 0, 2)),
         2: vol_np,
     }
-    packs = []
+    packs, occ_u, occ_v = [], [], []
+    ng = d // 8
     for m in range(3):
         v = base[m]
         # bf16 storage: a half-blend of two u8 levels has 9 significant
         # bits; bf16 keeps 8 (<=1/512 error) and feeds the MXU at full rate
-        packs.append(jnp.asarray(0.5 * (v[:-1] + v[1:]), jnp.bfloat16))
-    return tuple(packs)
+        blend = 0.5 * (v[:-1] + v[1:])
+        packs.append(jnp.asarray(blend, jnp.bfloat16))
+        hot = blend > OCC_EPS  # (G, Dv, Du)
+        occ_u.append(hot.any(axis=1).reshape(-1, ng, 8).any(axis=2))
+        occ_v.append(hot.any(axis=2).reshape(-1, ng, 8).any(axis=2))
+    tables = (jnp.asarray(np.stack(occ_u), jnp.bool_),
+              jnp.asarray(np.stack(occ_v), jnp.bool_))
+    return tuple(packs) + (tables,)
+
+
+def _window_counts(cum, pos_lo, pos_hi):
+    """Occupied-group count for [pos_lo-1, pos_hi+1] windows against a
+    per-slab prefix-summed group table cum (G, ng+1). Off-grid windows
+    (including the -1e6 pad sentinel) clip to an empty span."""
+    ng = cum.shape[1] - 1
+    gl = jnp.clip(jnp.floor((pos_lo - 1.0) / 8.0).astype(jnp.int32), 0, ng)
+    gh = jnp.clip(
+        jnp.floor((pos_hi + 1.0) / 8.0).astype(jnp.int32) + 1, 0, ng
+    )
+    gh = jnp.maximum(gh, gl)
+    return (jnp.take_along_axis(cum, gh, axis=1)
+            - jnp.take_along_axis(cum, gl, axis=1))
 
 
 @partial(
@@ -189,7 +220,10 @@ def _render_fast(
         # chunked output layout) + chunk-compacted composite — the round-2
         # separate-composite path spent ~4.6 ms/frame at I=512 on per-slab
         # dynamic-loop overhead (see ops.pallas.shear_resample docstring)
-        from vokselis_tpu.ops.pallas.shear_resample import resample_composite
+        from vokselis_tpu.ops.pallas.shear_resample import (
+            composite_chunks,
+            resample_slabs,
+        )
 
         gp = (dm1 + 7) // 8 * 8
         ks = jnp.arange(gp, dtype=jnp.float32) + 0.5
@@ -201,7 +235,41 @@ def _render_fast(
         pos_u = jnp.where(valid, pos_u, -1e6)
         pos_v = jnp.where(valid, pos_v, -1e6)
         sgn_i = jnp.where(sgn > 0, 1, -1).astype(jnp.int32)
-        r, g, b, a = resample_composite(volm, pos_u, pos_v, sgn_i, irho)
+
+        occ2_u = occ_b = None
+        if len(packs) >= 4:
+            # volume-side occupancy: per-(slab, u-block) gate for the
+            # resample and per-(block, chunk) compaction for the composite
+            # from the static group tables — replaces the full resampled-
+            # stack reduce and skips empty-pair matmuls
+            tab_u, tab_v = packs[3]
+            tu = lax.switch(m, [lambda i=i: tab_u[i] for i in range(3)])
+            tv_tab = lax.switch(m, [lambda i=i: tab_v[i] for i in range(3)])
+
+            def cum_of(tab):
+                c = jnp.cumsum(tab.astype(jnp.int32), axis=1)
+                c = jnp.pad(c, ((0, gp - tab.shape[0]), (1, 0)))
+                return c
+
+            cum_u, cum_v = cum_of(tu), cum_of(tv_tab)
+            n_ub = ii // 128
+            nrb = ii // 8
+            # pos_* are affine per slab -> block windows from endpoints
+            pu_e = pos_u.reshape(gp, n_ub, 128)
+            pv_e = pos_v.reshape(gp, nrb, 8)
+            u_lo_b = jnp.minimum(pu_e[:, :, 0], pu_e[:, :, -1])
+            u_hi_b = jnp.maximum(pu_e[:, :, 0], pu_e[:, :, -1])
+            v_lo_b = jnp.minimum(pv_e[:, :, 0], pv_e[:, :, -1])
+            v_hi_b = jnp.maximum(pv_e[:, :, 0], pv_e[:, :, -1])
+            occ2_u = (_window_counts(cum_u, u_lo_b, u_hi_b) > 0)  # (gp, n_ub)
+            occ2_v = (_window_counts(cum_v, v_lo_b, v_hi_b) > 0)  # (gp, nrb)
+            pair = occ2_v[:, :, None] & occ2_u[:, None, :]  # (gp, nrb, n_ub)
+            occ_chunk = pair.reshape(gp // 8, 8, nrb, n_ub).any(axis=1)
+            occ_b = occ_chunk.transpose(1, 2, 0).reshape(nrb * n_ub, gp // 8)
+            occ2_u = occ2_u.reshape(-1).astype(jnp.int32)
+
+        res = resample_slabs(volm, pos_u, pos_v, occ=occ2_u)
+        r, g, b, a = composite_chunks(res, sgn_i, irho, occ_b=occ_b)
         return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu,
                                ev, denom_ref, u_lo, v_lo, su, sv, height,
                                width, srgb)
