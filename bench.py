@@ -48,7 +48,7 @@ def slope_time(build_frames_fn, n_hi: int = 5, repeats: int = 5):
     return float(np.median(slopes))
 
 
-def bench_bonsai(width=1024, height=1024, use_pallas=None):
+def bench_bonsai(width=1024, height=1024, use_pallas=None, vol=None):
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +58,8 @@ def bench_bonsai(width=1024, height=1024, use_pallas=None):
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     u0 = Camera.bonsai(1.0).uniform()
-    vol = get_bonsai()
+    if vol is None:
+        vol = get_bonsai()
 
     if use_pallas:
         from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
@@ -297,6 +298,16 @@ def main():
                  f"/frame = {m:.0f} Mrays/s (approximate — see PARITY_REPORT.md)")
 
     if args.all:
+        if not args.cpu_oracle and jax.default_backend() == "tpu":
+            # dense-occupancy stress volume (~50% nonzero, deep marches):
+            # bounds the flagship's sensitivity to the synthetic volume's
+            # 8-15% occupancy (VERDICT round-2 weak #5)
+            from vokselis_tpu.volume.io import dense_stress
+
+            m, s = bench_bonsai(vol=dense_stress())
+            results["bonsai_1024_dense"] = (m, s)
+            _log(f"config 3 DENSE stress (50% occupancy) @1024^2: "
+                 f"{s*1000:.1f} ms/frame = {m:.1f} Mrays/s")
         for name, kw in (
             ("trig_512", dict(width=512, height=512, field="trig",
                               shading="emission", quantize=False)),

@@ -9,8 +9,12 @@ import pytest
 import jax.experimental.pallas as pl
 
 
-@pytest.fixture
-def interpret(monkeypatch):
+@pytest.fixture(params=["mxu", "scan"])
+def interpret(monkeypatch, request):
+    """Interpret-mode warp2d, parametrized over BOTH kernels: the
+    VMEM-resident MXU formulation (default for I that fits) and the
+    banded-DMA row-scan fallback (large intermediates)."""
+    monkeypatch.setenv("VOK_WARP_MXU", "1" if request.param == "mxu" else "0")
     orig = pl.pallas_call
 
     def patched(*a, **k):
@@ -23,6 +27,7 @@ def interpret(monkeypatch):
 
     importlib.reload(w2)
     yield
+    monkeypatch.delenv("VOK_WARP_MXU", raising=False)
     importlib.reload(w2)
 
 

@@ -86,8 +86,11 @@ def _render_hybrid(
     # silhouette RIM, whose grazing rays are also the cheapest to
     # re-march; a raw-contrast ranking drifts into dense fbm canopy —
     # tools/hybrid_study2.py) plus a small raw-contrast term for inner
-    # silhouettes
-    lum = rgb.mean(axis=-1)
+    # silhouettes. Scored in sRGB space: the error budget is measured on
+    # the sRGB output, and the study's tile-count curves were fit there —
+    # linear-space scoring underweights dark-side silhouettes (gamma
+    # compresses exactly the low-luminance contrast the rim lives in).
+    lum = linear_to_srgb(jnp.maximum(rgb, 0.0)).mean(axis=-1)
     gx = jnp.abs(jnp.diff(lum, axis=1, prepend=lum[:, :1]))
     gy = jnp.abs(jnp.diff(lum, axis=0, prepend=lum[:1]))
     edge = gx + gy

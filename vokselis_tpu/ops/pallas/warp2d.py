@@ -160,6 +160,110 @@ def _warp_kernel(
             outs[c][:] = t0c + (t1c - t0c) * fa
 
 
+def _warp_kernel_mxu(
+    chans_ref,  # (C, I, iw_pad) f32 — the WHOLE intermediate, VMEM-resident
+    avr, bur,  # (8, 128) fractional coords (v, u)
+    hitr,  # (8, 128) 1.0 where the pixel participates in the window
+    out_r, out_g, out_b,
+    a_win,  # scratch (C * win_rows, 128) bf16 rolled windows
+    *,
+    ii: int,
+    iw: int,
+    iw_pad: int,
+    win_rows: int,
+    n_ch: int,
+):
+    """MXU formulation of the per-tile bilinear warp: the u-lerp rides a
+    hat-weight matmul (exactly the resample kernel's trick) and the v-lerp
+    is a small VPU multiply-reduce — no row scan, no per-row lane gathers.
+    The banded-DMA + row-scan kernel above measured 1.88 ms at 1024^2
+    (I=512): ~240 take_along_axis per hot tile dominated. Requires the
+    intermediate to fit VMEM ((C, I, iw_pad) f32 — I <= 640 or so); the
+    caller falls back to the scan kernel above it doesn't."""
+    av, bu = avr[:], bur[:]
+    hitm = hitr[:] > 0.5
+    win_u = min(128, iw_pad)
+
+    # image-edge clamp first (matches the scan kernel's iu/iv clip): a hat
+    # weight at a clamped integer coordinate is 1.0 on the edge texel,
+    # reproducing the lerp-of-clamped-taps exactly
+    av_c = jnp.clip(av, 0.0, float(ii) - 1.0)
+    bu_c = jnp.clip(bu, 0.0, float(iw) - 1.0)
+
+    any_hit = jnp.any(hitm) if _GATE else jnp.bool_(True)
+
+    outs = (out_r, out_g, out_b)
+
+    @pl.when(jnp.logical_not(any_hit))
+    def _():
+        for c in range(n_ch):
+            outs[c][:] = jnp.zeros_like(avr[:])
+
+    @pl.when(any_hit)
+    def _():
+        big = float(max(ii, iw))
+        v_lo = jnp.min(jnp.where(hitm, jnp.floor(av_c), big))
+        u_lo = jnp.min(jnp.where(hitm, jnp.floor(bu_c), big))
+        v_b = pl.multiple_of(
+            jnp.clip(
+                (v_lo.astype(jnp.int32) // 8) * 8,
+                0,
+                max((ii - win_rows) // 8 * 8, 0),
+            ),
+            8,
+        )
+        u_b = jnp.clip(u_lo.astype(jnp.int32), 0, max(iw_pad - win_u, 0))
+
+        for c in range(n_ch):
+            rolled = pltpu.roll(
+                chans_ref[c, pl.ds(v_b, win_rows), :], -u_b, 1
+            )[:, :win_u]
+            if win_u < 128:  # clipped bu_l <= win_u-1 zeroes the pad's hats
+                rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
+            a_win[pl.ds(c * win_rows, win_rows), :] = rolled.astype(
+                jnp.bfloat16
+            )
+
+        # window-local coords; out-of-window footprints (extreme zoom)
+        # edge-extend exactly like the scan kernel's tap clamp
+        bu_l = jnp.clip(bu_c - u_b.astype(jnp.float32), 0.0, win_u - 1.0)
+        av_l = jnp.clip(av_c - v_b.astype(jnp.float32), 0.0, win_rows - 1.0)
+
+        # Mosaic iota must be integer; convert after
+        iota_u = lax.broadcasted_iota(jnp.int32, (128, 128), 0).astype(
+            jnp.float32
+        )
+        iota_v = lax.broadcasted_iota(jnp.int32, (win_rows, 128), 0).astype(
+            jnp.float32
+        )
+        aw = a_win[:, :]
+        # per packed sublane row q: one (C*win_rows, win_u) @ (win_u, 128)
+        # MXU dot folds the u-lerp; the v-lerp is a (win_rows, 128)
+        # hat-weighted sublane reduce per channel
+        for q in range(8):
+            wu = jnp.maximum(
+                0.0, 1.0 - jnp.abs(iota_u - bu_l[q : q + 1, :])
+            ).astype(jnp.bfloat16)
+            cq = lax.dot_general(
+                aw, wu, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C * win_rows, 128)
+            hv = jnp.maximum(0.0, 1.0 - jnp.abs(iota_v - av_l[q : q + 1, :]))
+            for c in range(n_ch):
+                outs[c][q : q + 1, :] = jnp.sum(
+                    hv * cq[c * win_rows : (c + 1) * win_rows, :],
+                    axis=0,
+                    keepdims=True,
+                )
+
+
+# VMEM budget for the resident-intermediate MXU kernel: (C, I, iw_pad) f32
+# input block + (C*win_rows, 128) scratch + out blocks; 4 MiB leaves room
+# for double-buffered coords under the 16 MiB/core budget
+_MXU_VMEM_CAP = 4 * 1024 * 1024
+_MXU = os.environ.get("VOK_WARP_MXU", "1") == "1"
+
+
 @partial(jax.jit, static_argnames=())
 def warp_bilinear_pallas(chans, av, bu, hit=None):
     """(C<=3, I, I) channels sampled at (H, W) coords -> (C, H, W).
@@ -173,6 +277,42 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
         chans = jnp.pad(chans, ((0, 0), (0, 0), (0, iw_pad - iw)))
     height, width = av.shape
     win_rows = _win_rows(ii, height, width)
+
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+
+    def pack(x):
+        return _pack_tiles(
+            jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
+        )
+
+    hitf = (jnp.ones(av.shape, jnp.float32) if hit is None
+            else hit.astype(jnp.float32))
+    n_tiles = (ph // TILE) * (pw // TILE)
+    block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    if _MXU and n_ch * ii * iw_pad * 4 <= _MXU_VMEM_CAP:
+        outs = pl.pallas_call(
+            partial(_warp_kernel_mxu, ii=ii, iw=iw, iw_pad=iw_pad,
+                    win_rows=win_rows, n_ch=n_ch),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((n_ch, ii, iw_pad), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [block] * 3,
+            out_specs=[block] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
+            ] * 3,
+            scratch_shapes=[
+                pltpu.VMEM((n_ch * win_rows, 128), jnp.bfloat16),
+            ],
+        )(chans.astype(jnp.float32), pack(av), pack(bu), pack(hitf))
+        planes = [
+            _unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]
+        ]
+        return jnp.stack(planes)
+
     band_rows = min(ii, win_rows + BAND_STRIDE)
     nb = 1 if ii <= band_rows else cdiv(ii - band_rows, BAND_STRIDE) + 1
 
@@ -186,19 +326,6 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
          for b in range(nb)]
     )  # (nb, C, band_rows, I)
 
-    ph = cdiv(height, TILE) * TILE
-    pw = cdiv(width, TILE) * TILE
-
-    def pack(x):
-        return _pack_tiles(
-            jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
-        )
-
-    hitf = (jnp.ones(av.shape, jnp.float32) if hit is None
-            else hit.astype(jnp.float32))
-
-    n_tiles = (ph // TILE) * (pw // TILE)
-    block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         partial(_warp_kernel, ii=ii, iw=iw, iw_pad=iw_pad,
                 win_rows=win_rows, band_rows=band_rows, nb=nb, n_ch=n_ch),

@@ -28,6 +28,7 @@ Everything here works on the 8-device virtual CPU mesh used by tests
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -121,6 +122,20 @@ def render_views_sharded(
     otherwise the output stays view-sharded for per-shard host egress.
     """
 
+    fn = _views_sharded_fn(
+        mesh, render, width, height, max_steps, gather,
+        jax.tree.structure(pack), jax.tree.structure(cams),
+    )
+    return fn(pack, cams)
+
+
+@functools.lru_cache(maxsize=64)
+def _views_sharded_fn(mesh, render, width, height, max_steps, gather,
+                      pack_def, cam_def):
+    """One jitted shard-mapped callable per (mesh, renderer, shape) config:
+    wrapping jax.jit around a fresh closure on every render_views_sharded
+    call would re-trace every frame (jit caches by function identity)."""
+
     def local_step(pack_l, cams_l):
         imgs = jax.vmap(
             lambda c: render(pack_l, c, width, height, max_steps)
@@ -129,11 +144,11 @@ def render_views_sharded(
             imgs = jax.lax.all_gather(imgs, "views", axis=0, tiled=True)
         return imgs
 
-    pack_spec = jax.tree.map(lambda _: P(), pack)
-    cam_spec = jax.tree.map(lambda _: P("views"), cams)
+    pack_spec = jax.tree.unflatten(pack_def, [P()] * pack_def.num_leaves)
+    cam_spec = jax.tree.unflatten(cam_def, [P("views")] * cam_def.num_leaves)
     out_spec = P() if gather else P("views")
-    fn = shard_map(local_step, mesh, (pack_spec, cam_spec), out_spec)
-    return jax.jit(fn)(pack, cams)
+    return jax.jit(shard_map(local_step, mesh, (pack_spec, cam_spec),
+                             out_spec))
 
 
 def build_ray_renderer(vol_u8, force_oracle: bool | None = None,
@@ -233,6 +248,17 @@ def render_frame_tiled(
                                 with_overflow=True)
     )
     eye, (dx, dy, dz) = geometry.rays_fragment_soa(cam, width, height)
+    fn = _frame_tiled_fn(mesh, render_rays, max_steps,
+                         jax.tree.structure(pack))
+    img, ovf = fn(pack, eye, dx, dy, dz)
+    return (img, ovf) if with_overflow else img
+
+
+@functools.lru_cache(maxsize=64)
+def _frame_tiled_fn(mesh, render_rays, max_steps, pack_def):
+    """Cached jitted row-sharded frame step (see _views_sharded_fn). Pass a
+    STABLE ``renderer`` pair to render_frame_tiled to benefit — the default
+    build_ray_renderer closure is fresh per call and caches nothing."""
 
     def local_step(pack_l, eye_l, dx_l, dy_l, dz_l):
         out = render_rays(pack_l, eye_l, (dx_l, dy_l, dz_l),
@@ -242,16 +268,14 @@ def render_frame_tiled(
         ovf = jax.lax.psum(ovf, "tiles")
         return img, ovf
 
-    pack_spec = jax.tree.map(lambda _: P(), pack)
+    pack_spec = jax.tree.unflatten(pack_def, [P()] * pack_def.num_leaves)
     row_spec = P("tiles")
-    fn = shard_map(
+    return jax.jit(shard_map(
         local_step,
         mesh,
         (pack_spec, P(), row_spec, row_spec, row_spec),
         (P(), P()),
-    )
-    img, ovf = jax.jit(fn)(pack, eye, dx, dy, dz)
-    return (img, ovf) if with_overflow else img
+    ))
 
 
 def multi_view_step(mesh: Mesh, vol, n_views: int, width: int, height: int,

@@ -117,6 +117,50 @@ def synthetic_bonsai(n: int = 256, seed: int = 7) -> np.ndarray:
     return (vol * 255.0 + 0.5).astype(np.uint8)
 
 
+def dense_stress(n: int = 256, seed: int = 11) -> np.ndarray:
+    """Dense-occupancy stress volume, (n, n, n) uint8, ~45-55% nonzero.
+
+    The synthetic bonsai's 8-15% occupancy flatters every occupancy-gated
+    path (chunk DMA skip, early exits) — this volume is the adversarial
+    complement: a low-amplitude fog (values ~[0.06, 0.30] so the K1
+    transfer alpha = a^2 stays in [0.004, 0.09] and rays march DEEP before
+    the 0.95 opacity exit) covering roughly half the box with no empty
+    slabs for the gate to skip. Bench rows on it bound the flagship
+    numbers' sensitivity to volume statistics (round-2 VERDICT weak #5).
+    Matches the workload shape of src/context/volume_texture.rs:33-59
+    with worst-case content.
+    """
+    rng = np.random.default_rng(seed)
+    idx = np.linspace(0, 1, n, dtype=np.float32)
+    zs, ys, xs = np.meshgrid(idx, idx, idx, indexing="ij")
+
+    def value_noise(shape, cells, rng):
+        g = rng.random((cells, cells, cells)).astype(np.float32)
+        ii = np.linspace(0, cells - 1, shape, dtype=np.float32)
+        i0 = np.floor(ii).astype(np.int32)
+        f = ii - i0
+        i1 = np.minimum(i0 + 1, cells - 1)
+        f = f * f * (3 - 2 * f)
+
+        def lerp_axis(a, axis):
+            a0 = np.take(a, i0, axis=axis)
+            a1 = np.take(a, i1, axis=axis)
+            fb = f.reshape([-1 if ax == axis else 1 for ax in range(3)])
+            return a0 * (1 - fb) + a1 * fb
+
+        out = g
+        for ax in range(3):
+            out = lerp_axis(out, ax)
+        return out
+
+    noise = (0.6 * value_noise(n, 7, rng) + 0.4 * value_noise(n, 23, rng))
+    # threshold at the median -> ~50% occupancy spread over the whole box
+    occ = noise > np.median(noise)
+    amp = 0.06 + 0.24 * np.clip((noise - 0.45) / 0.35, 0.0, 1.0)
+    vol = np.where(occ, amp, 0.0).astype(np.float32)
+    return (vol * 255.0 + 0.5).astype(np.uint8)
+
+
 _BONSAI_CACHE: dict = {}
 
 
