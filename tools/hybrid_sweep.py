@@ -76,14 +76,19 @@ def main():
           f"poses>1e-3: {(errs > 1e-3).sum()}  [{time.time()-t0:.0f}s]",
           flush=True)
 
-    # speed at the bench pose
+    # speed at the bench pose (pin the pose's real window hint: the loop
+    # body is traced, so pose_hint alone would fall back to defaults)
+    from vokselis_tpu.ops.shear_warp import pose_hint
+
     u0 = Camera.bonsai(1.0).uniform()
+    hint = pose_hint(u0, W, H, ii, hyb.dims)
+    print(f"bench-pose hint (win, wu, degen): {hint}", flush=True)
 
     def build(n):
         def frames(vp, pv, ip):
             def body(i, acc):
                 u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                img, _o = hyb._call_traced(u, W, H)
+                img, _o = hyb._call_traced(u, W, H, hint=hint)
                 return acc + img[0, 0, 0] + img[H // 2, W // 2, 0]
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         jf = jax.jit(frames)

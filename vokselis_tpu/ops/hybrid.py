@@ -38,12 +38,18 @@ from vokselis_tpu.ops.pallas.march_bonsai import (
     MAX_STEPS_BONSAI,
     TILE,
     _pack_tiles,
+    _render_bonsai_pallas,
     _unpack_tiles,
     auto_win_rows,
+    pick_tiles_per_step,
     prepare_volume,
     render_bonsai_tiles_into,
 )
-from vokselis_tpu.ops.shear_warp import _render_fast, prepare_fast_volume
+from vokselis_tpu.ops.shear_warp import (
+    _render_fast,
+    pose_hint,
+    prepare_fast_volume,
+)
 from vokselis_tpu.utils.grid import cdiv
 
 # tile-contrast threshold below which a tile is never re-marched: tuned on
@@ -57,7 +63,7 @@ DEFAULT_BUDGET = 128
     jax.jit,
     static_argnames=("width", "height", "intermediate", "budget", "srgb",
                      "dims", "win_rows", "band_rows", "nb", "bstride",
-                     "max_steps"),
+                     "max_steps", "warp_win", "warp_wu"),
 )
 def _render_hybrid(
     packs,
@@ -75,10 +81,16 @@ def _render_hybrid(
     nb: int,
     bstride: int,
     max_steps: int = MAX_STEPS_BONSAI,
+    warp_win: int = 0,
+    warp_wu: int = 128,
 ):
-    # 1. fast frame in LINEAR color (srgb once, after the merge)
-    img = _render_fast(packs, camera_uniform, width, height, intermediate,
-                       False)
+    # 1. fast frame in LINEAR color (srgb once, after the merge), plus the
+    # warp's cannot-reconstruct mask (out-of-extent rays + window-overflow
+    # pixels — see _warp_to_screen): those pixels are rendered black by
+    # the fast path and MUST be re-marched, independent of contrast
+    img, bad = _render_fast(packs, camera_uniform, width, height,
+                            intermediate, False, warp_win=warp_win,
+                            warp_wu=warp_wu, return_aux=True)
     rgb = img[..., :3]
 
     # 2. per-tile silhouette score: edge energy weighted toward
@@ -104,6 +116,10 @@ def _render_hybrid(
         return x.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3)).reshape(-1)
 
     scores = tile_mean(edge * near_black) + 0.08 * tile_mean(edge)
+    # any warp-degraded pixel outranks every contrast score (1e3 >> edge
+    # energies); among degraded tiles, more degraded pixels rank first
+    bad_frac = tile_mean(bad.astype(jnp.float32))
+    scores = jnp.where(bad_frac > 0.0, 1e3 + bad_frac, scores)
 
     vals, ids = jax.lax.top_k(scores, budget)
     ids = jnp.where(vals > thresh, ids, n_tiles)  # park below-thresh picks
@@ -156,15 +172,37 @@ class HybridBonsaiRenderer:
 
     def _call_traced(self, camera_uniform, width: int = 1280,
                      height: int = 720, max_steps: int = MAX_STEPS_BONSAI,
-                     srgb: bool = True, budget: int | None = None):
+                     srgb: bool = True, budget: int | None = None,
+                     hint=None):
         """Pure (img, ovf) form — safe to call under an outer jit trace
-        (no attribute mutation)."""
+        (no attribute mutation). Degenerate poses (shear-warp factorization
+        breaks: eye inside/near the slab range, or close-up magnification —
+        see ops.shear_warp.pose_hint) fall back to the EXACT full-frame
+        kernel, so the hybrid's error contract holds at every pose; the
+        hint (and so the fallback) only engages when the camera uniform is
+        concrete — under an outer trace the fast path is used as-is unless
+        the caller pins a concrete ``hint=(warp_win, warp_wu, degenerate)``
+        (e.g. a frame loop jitted around a known pose)."""
+        wwin, wwu, degen = (hint if hint is not None else
+                            pose_hint(camera_uniform, width, height,
+                                      self.intermediate, self.dims))
+        if degen:
+            tps = pick_tiles_per_step(self.dims, width, height,
+                                      cap=self.win_cap)
+            ewin = min(auto_win_rows(self.dims, width, height, tps),
+                       self.win_cap)
+            return _render_bonsai_pallas(
+                self.layouts, camera_uniform, width, height, self.dims,
+                max_steps, srgb, ewin, self.band_rows, self.nb,
+                self.bstride, tps,
+            )
         win = min(auto_win_rows(self.dims, width, height, 1), self.win_cap)
         img, ovf = _render_hybrid(
             self.packs, self.layouts, camera_uniform,
             jnp.float32(self.thresh), width, height, self.intermediate,
             budget or self.budget, srgb, self.dims, win,
             self.band_rows, self.nb, self.bstride, max_steps,
+            wwin, wwu,
         )
         return img, ovf
 

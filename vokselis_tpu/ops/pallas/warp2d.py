@@ -164,13 +164,14 @@ def _warp_kernel_mxu(
     chans_ref,  # (C, I, iw_pad) f32 — the WHOLE intermediate, VMEM-resident
     avr, bur,  # (8, 128) fractional coords (v, u)
     hitr,  # (8, 128) 1.0 where the pixel participates in the window
-    out_r, out_g, out_b,
-    a_win,  # scratch (C * win_rows, 128) bf16 rolled windows
+    out_r, out_g, out_b, out_o,
+    a_win,  # scratch (C * win_rows, win_u) bf16 rolled windows
     *,
     ii: int,
     iw: int,
     iw_pad: int,
     win_rows: int,
+    win_u: int,
     n_ch: int,
 ):
     """MXU formulation of the per-tile bilinear warp: the u-lerp rides a
@@ -179,10 +180,19 @@ def _warp_kernel_mxu(
     The banded-DMA + row-scan kernel above measured 1.88 ms at 1024^2
     (I=512): ~240 take_along_axis per hot tile dominated. Requires the
     intermediate to fit VMEM ((C, I, iw_pad) f32 — I <= 640 or so); the
-    caller falls back to the scan kernel above it doesn't."""
+    caller falls back to the scan kernel above it doesn't.
+
+    ``out_o`` is a per-pixel WINDOW-OVERFLOW flag (1.0 where a hit pixel's
+    taps fell outside the (win_rows, win_u) window and were edge-clamped):
+    perspective-stretched footprints at off-axis poses can exceed any
+    static window (spans of 100-220 intermediate texels per 32 px tile
+    were measured at zoom 1.0 diagonals), so instead of silently clamping,
+    the kernel reports exactly which pixels degraded — the hybrid renderer
+    re-marches those tiles with the exact kernel."""
     av, bu = avr[:], bur[:]
     hitm = hitr[:] > 0.5
-    win_u = min(128, iw_pad)
+    win_u = min(win_u, iw_pad)
+    wk = max(win_u, 128)  # matmul contraction width (>= 1 lane tile)
 
     # image-edge clamp first (matches the scan kernel's iu/iv clip): a hat
     # weight at a clamped integer coordinate is 1.0 on the edge texel,
@@ -198,6 +208,7 @@ def _warp_kernel_mxu(
     def _():
         for c in range(n_ch):
             outs[c][:] = jnp.zeros_like(avr[:])
+        out_o[:] = jnp.zeros_like(avr[:])
 
     @pl.when(any_hit)
     def _():
@@ -218,19 +229,32 @@ def _warp_kernel_mxu(
             rolled = pltpu.roll(
                 chans_ref[c, pl.ds(v_b, win_rows), :], -u_b, 1
             )[:, :win_u]
-            if win_u < 128:  # clipped bu_l <= win_u-1 zeroes the pad's hats
-                rolled = jnp.pad(rolled, ((0, 0), (0, 128 - win_u)))
+            if win_u < wk:  # clipped bu_l <= win_u-1 zeroes the pad's hats
+                rolled = jnp.pad(rolled, ((0, 0), (0, wk - win_u)))
             a_win[pl.ds(c * win_rows, win_rows), :] = rolled.astype(
                 jnp.bfloat16
             )
 
+        vb_f = v_b.astype(jnp.float32)
+        ub_f = u_b.astype(jnp.float32)
+        # taps iv0 = floor(av_c), iv1 = iv0 + 1 must land in
+        # [v_b, v_b + win_rows); same for u — flag hit pixels whose
+        # footprint exceeds the window (their taps edge-extend below)
+        out_o[:] = jnp.where(
+            hitm
+            & ((jnp.floor(av_c) - vb_f > float(win_rows - 2))
+               | (jnp.floor(bu_c) - ub_f > float(win_u - 2))),
+            1.0,
+            0.0,
+        )
+
         # window-local coords; out-of-window footprints (extreme zoom)
         # edge-extend exactly like the scan kernel's tap clamp
-        bu_l = jnp.clip(bu_c - u_b.astype(jnp.float32), 0.0, win_u - 1.0)
-        av_l = jnp.clip(av_c - v_b.astype(jnp.float32), 0.0, win_rows - 1.0)
+        bu_l = jnp.clip(bu_c - ub_f, 0.0, win_u - 1.0)
+        av_l = jnp.clip(av_c - vb_f, 0.0, win_rows - 1.0)
 
         # Mosaic iota must be integer; convert after
-        iota_u = lax.broadcasted_iota(jnp.int32, (128, 128), 0).astype(
+        iota_u = lax.broadcasted_iota(jnp.int32, (wk, 128), 0).astype(
             jnp.float32
         )
         iota_v = lax.broadcasted_iota(jnp.int32, (win_rows, 128), 0).astype(
@@ -264,11 +288,19 @@ _MXU_VMEM_CAP = 4 * 1024 * 1024
 _MXU = os.environ.get("VOK_WARP_MXU", "1") == "1"
 
 
-@partial(jax.jit, static_argnames=())
-def warp_bilinear_pallas(chans, av, bu, hit=None):
+@partial(jax.jit, static_argnames=("win_rows", "win_u", "with_overflow"))
+def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
+                         with_overflow=False):
     """(C<=3, I, I) channels sampled at (H, W) coords -> (C, H, W).
     ``hit`` (H, W) bool optionally restricts the per-tile sampling window
-    to participating pixels (see module docstring)."""
+    to participating pixels (see module docstring).
+
+    ``win_rows``/``win_u`` override the static window size (pose-dependent
+    footprints: see ops.shear_warp.warp_window_hint). With
+    ``with_overflow=True`` returns (planes, ovf) where ovf (H, W) f32 is
+    1.0 at hit pixels whose taps exceeded the window and were edge-clamped
+    (MXU path only; the banded scan fallback returns zeros — size its
+    window via the hint instead)."""
     n_ch, ii, iw = chans.shape
     # pltpu.roll with a traced shift SILENTLY corrupts on non-power-of-two
     # lane widths (probed: 384 wrong, 256/512 exact) — pad columns up
@@ -276,7 +308,10 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
     if iw_pad != iw:
         chans = jnp.pad(chans, ((0, 0), (0, 0), (0, iw_pad - iw)))
     height, width = av.shape
-    win_rows = _win_rows(ii, height, width)
+    if not win_rows:
+        win_rows = _win_rows(ii, height, width)
+    win_rows = min(win_rows, max((ii // 8) * 8, 8), ii)
+    win_u = min(win_u, iw_pad)
 
     ph = cdiv(height, TILE) * TILE
     pw = cdiv(width, TILE) * TILE
@@ -294,23 +329,26 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
     if _MXU and n_ch * ii * iw_pad * 4 <= _MXU_VMEM_CAP:
         outs = pl.pallas_call(
             partial(_warp_kernel_mxu, ii=ii, iw=iw, iw_pad=iw_pad,
-                    win_rows=win_rows, n_ch=n_ch),
+                    win_rows=win_rows, win_u=win_u, n_ch=n_ch),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((n_ch, ii, iw_pad), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + [block] * 3,
-            out_specs=[block] * 3,
+            out_specs=[block] * 4,
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
-            ] * 3,
+            ] * 4,
             scratch_shapes=[
-                pltpu.VMEM((n_ch * win_rows, 128), jnp.bfloat16),
+                pltpu.VMEM((n_ch * win_rows, max(win_u, 128)), jnp.bfloat16),
             ],
         )(chans.astype(jnp.float32), pack(av), pack(bu), pack(hitf))
         planes = [
             _unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]
         ]
+        if with_overflow:
+            ovf = _unpack_tiles(outs[3], ph, pw)[:height, :width]
+            return jnp.stack(planes), ovf
         return jnp.stack(planes)
 
     band_rows = min(ii, win_rows + BAND_STRIDE)
@@ -340,4 +378,6 @@ def warp_bilinear_pallas(chans, av, bu, hit=None):
         ],
     )(bands, pack(av), pack(bu), pack(hitf))
     planes = [_unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]]
+    if with_overflow:  # scan path has no flag — size the window instead
+        return jnp.stack(planes), jnp.zeros((height, width), jnp.float32)
     return jnp.stack(planes)

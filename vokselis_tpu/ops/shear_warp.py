@@ -130,7 +130,8 @@ def _window_counts(cum, pos_lo, pos_hi):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "intermediate", "srgb", "exit_every"),
+    static_argnames=("width", "height", "intermediate", "srgb", "exit_every",
+                     "warp_win", "warp_wu", "return_aux"),
 )
 def _render_fast(
     packs,  # 3-tuple of (D-1, D, D) f32 half-shifted slab-major volumes
@@ -140,6 +141,9 @@ def _render_fast(
     intermediate: int,
     srgb: bool,
     exit_every: int = 32,
+    warp_win: int = 0,  # 0 = warp kernel's static default
+    warp_wu: int = 128,
+    return_aux: bool = False,
 ):
     dm1, d, _ = packs[0].shape
     fd = float(d)
@@ -166,7 +170,10 @@ def _render_fast(
 
     sgn = jnp.where(pick(fwd)[0] >= 0, 1.0, -1.0)
 
-    # slab planes sampled at Z = k + 0.5, k in [0, D-2]
+    # slab planes sampled at Z = k + 0.5, k in [0, D-2]. (The ref-plane
+    # POSITION is immaterial: crossings on any two planes differ by a
+    # global homothety about the eye, which the extent normalization
+    # cancels — probed. What matters is the extent CLIP below.)
     z_ref = (fd - 1.0) / 2.0
     # the factorization needs the eye OUTSIDE the slab range along m
     # (s(k) must not cross zero); eye-inside poses get clamped divisors so
@@ -193,6 +200,49 @@ def _render_fast(
 
     u_lo, u_hi = extent(eu)
     v_lo, v_hi = extent(ev)
+
+    # FRUSTUM CLIP: the union-of-preimages extent covers every slab's
+    # whole footprint, but visible rays only cross the ref plane inside
+    # the screen's frustum — at perspective-heavy poses the union is many
+    # times wider, wasting most of the I x I intermediate and magnifying
+    # the warp's 1/I reconstruction error (zoom-1.0 diagonals measured
+    # median tile magnification > 2.7x before this clip). Intersect with
+    # the hit rays' ref-plane bounding box; near-parallel rays (x_ref
+    # diverges as 1/d_m) are excluded by the intersection itself.
+    exf = jnp.broadcast_to(eye[0], dirs.shape[:2])
+    eyf = jnp.broadcast_to(eye[1], dirs.shape[:2])
+    ezf = jnp.broadcast_to(eye[2], dirs.shape[:2])
+    tf0, tf1 = geometry.intersect_box_soa(
+        exf, eyf, ezf, dirs[..., 0], dirs[..., 1], dirs[..., 2], 0.0, 1.0
+    )
+    hitf = tf0 <= tf1
+    safe_dmf = jnp.where(jnp.abs(dmx) < 1e-8, 1e-8, dmx)
+    xr_u = eu + denom_ref * dux / safe_dmf
+    xr_v = ev + denom_ref * dvx / safe_dmf
+
+    def ray_bbox(xr, lo, hi):
+        # robust [0.2%, 99.8%] quantile box over a subsampled ray grid: a
+        # hard min/max would chase the silhouette rays whose crossings
+        # diverge (1/d_m) and never shrink anything. The excluded tail
+        # renders black + flagged (see _warp_to_screen) and the hybrid
+        # re-marches it exactly.
+        sub = xr[::8, ::8].reshape(-1)
+        oks = (hitf[::8, ::8] & jnp.isfinite(xr[::8, ::8])).reshape(-1)
+        n_ok = jnp.sum(oks.astype(jnp.int32))
+        srt = jnp.sort(jnp.where(oks, sub, jnp.inf))
+        nf = jnp.maximum(n_ok.astype(jnp.float32), 1.0)
+        i_lo = jnp.clip((0.002 * nf).astype(jnp.int32), 0, srt.shape[0] - 1)
+        i_hi = jnp.clip(n_ok - 1 - (0.002 * nf).astype(jnp.int32),
+                        0, srt.shape[0] - 1)
+        mn, mx = srt[i_lo], srt[i_hi]
+        pad = 0.05 * (mx - mn) + 2.0
+        good = (n_ok > 0) & jnp.isfinite(mn) & jnp.isfinite(mx)
+        return (jnp.where(good, jnp.maximum(lo, mn - pad), lo),
+                jnp.where(good, jnp.minimum(hi, mx + pad), hi))
+
+    u_lo, u_hi = ray_bbox(xr_u, u_lo, u_hi)
+    v_lo, v_hi = ray_bbox(xr_v, v_lo, v_hi)
+
     # half-texel pad so border bilinear taps are interior
     u_lo, u_hi = u_lo - 1.0, u_hi + 1.0
     v_lo, v_hi = v_lo - 1.0, v_hi + 1.0
@@ -272,7 +322,7 @@ def _render_fast(
         r, g, b, a = composite_chunks(res, sgn_i, irho, occ_b=occ_b)
         return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu,
                                ev, denom_ref, u_lo, v_lo, su, sv, height,
-                               width, srgb)
+                               width, srgb, warp_win, warp_wu, return_aux)
 
     # ---- XLA path (CPU / tests): grouped matmuls + cumprod composite ------
     grp = exit_every
@@ -350,12 +400,24 @@ def _render_fast(
     zero = jnp.zeros((ii, ii), jnp.float32)
     r, g, b, a = lax.fori_loop(0, n_groups, group, (zero, zero, zero, zero))
     return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
-                           denom_ref, u_lo, v_lo, su, sv, height, width, srgb)
+                           denom_ref, u_lo, v_lo, su, sv, height, width, srgb,
+                           warp_win, warp_wu, return_aux)
 
 
 def _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
-                    denom_ref, u_lo, v_lo, su, sv, height, width, srgb):
-    """Final homography warp of the composited intermediate to the screen."""
+                    denom_ref, u_lo, v_lo, su, sv, height, width, srgb,
+                    warp_win=0, warp_wu=128, return_aux=False):
+    """Final homography warp of the composited intermediate to the screen.
+
+    With ``return_aux=True`` also returns an (H, W) bool mask of hit
+    pixels the warp could NOT reconstruct faithfully: rays whose ref-plane
+    crossing lands outside the intermediate extent (side-entry and
+    near-slab-parallel rays — their projection diverges as 1/d_m and was
+    measured to drag per-tile sampling windows by 1e6+ texels at close
+    zooms) plus pixels whose in-extent footprint overflowed the kernel's
+    (warp_win, warp_wu) window. The hybrid renderer re-marches those
+    pixels' tiles with the exact kernel; fast-only callers render them
+    black (bounded error instead of unbounded window-clamp garbage)."""
     # rays that miss the box are black regardless of the lookup
     ex = jnp.broadcast_to(eye[0], dirs.shape[:2])
     ey = jnp.broadcast_to(eye[1], dirs.shape[:2])
@@ -377,51 +439,256 @@ def _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
     x_ref_v = ev + denom_ref * dvx / safe_dm
     bu = (x_ref_u - u_lo) / su - 0.5  # (H, W) intermediate coords
     av = (x_ref_v - v_lo) / sv - 0.5
-    ok = hit & jnp.isfinite(av) & jnp.isfinite(bu)
+    ii = r.shape[0]
+    # exclude rays whose ref-plane crossing misses the intermediate extent
+    # (+pad): their taps would clamp to arbitrary WINDOW-edge texels, and
+    # their extreme coords drag whole tiles' windows off the hit pixels
+    pad_ext = 4.0
+    in_ext = ((av > -pad_ext) & (av < ii - 1 + pad_ext)
+              & (bu > -pad_ext) & (bu < ii - 1 + pad_ext))
+    ok = hit & jnp.isfinite(av) & jnp.isfinite(bu) & in_ext
     av = jnp.where(ok, av, 1e6)
     bu = jnp.where(ok, bu, 1e6)
 
-    planes = _warp_bilinear(jnp.stack([r, g, b], 0), av, bu, ok)
+    out = _warp_bilinear(jnp.stack([r, g, b], 0), av, bu, ok,
+                         win_rows=warp_win, win_u=warp_wu,
+                         with_overflow=return_aux)
+    if return_aux:
+        planes, wovf = out
+    else:
+        planes = out
     rgb = jnp.moveaxis(planes, 0, -1)
-    rgb = jnp.where(hit[..., None], rgb, 0.0)
+    rgb = jnp.where(ok[..., None], rgb, 0.0)
     if srgb:
         rgb = linear_to_srgb(rgb)
     alpha = jnp.ones((height, width, 1), jnp.float32)
-    return jnp.concatenate([rgb, alpha], axis=-1)
+    img = jnp.concatenate([rgb, alpha], axis=-1)
+    if return_aux:
+        return img, (hit & jnp.logical_not(ok)) | (wovf > 0.5)
+    return img
 
 
-def _warp_bilinear(chans, av, bu, hit=None):
+def _warp_bilinear(chans, av, bu, hit=None, win_rows=0, win_u=128,
+                   with_overflow=False):
     """Bilinear lookup of (C, I, I) channels at (H, W) fractional coords.
     Pallas kernel on TPU (gathers are scalar-rate in XLA); map_coordinates
     elsewhere. ``hit`` restricts the kernel's per-tile window to
-    participating pixels."""
+    participating pixels; window overrides and the overflow flag are
+    documented on warp_bilinear_pallas (the XLA fallback samples exactly
+    and returns a zero flag)."""
     if jax.default_backend() == "tpu":
         from vokselis_tpu.ops.pallas.warp2d import warp_bilinear_pallas
 
-        return warp_bilinear_pallas(chans, av, bu, hit)
+        return warp_bilinear_pallas(chans, av, bu, hit,
+                                    win_rows=win_rows or None, win_u=win_u,
+                                    with_overflow=with_overflow)
     from jax.scipy.ndimage import map_coordinates
 
-    return jnp.stack(
+    planes = jnp.stack(
         [
             map_coordinates(c, [av, bu], order=1, mode="constant", cval=0.0)
             for c in chans
         ]
     )
+    if with_overflow:
+        return planes, jnp.zeros(av.shape, jnp.float32)
+    return planes
+
+
+_HINT_CACHE: dict = {}
+
+
+def pose_hint(camera_uniform, width: int, height: int, intermediate: int,
+              d: int, stride: int = 8):
+    """Host-side pose classification for the warp stage: returns
+    ``(warp_win, warp_wu, degenerate)``.
+
+    The warp kernel's per-tile window must cover the tile's footprint in
+    the intermediate, and that footprint is POSE-dependent: it scales with
+    the intermediate-to-screen ratio and stretches with perspective at
+    off-axis yaws (measured spans per 32 px tile across the 72-pose sweep:
+    6 texels at close zooms up to 220 at zoom-1.0 diagonals). This traces
+    a coarse (stride-subsampled) numpy replica of _render_fast's geometry,
+    measures per-tile coordinate spans, and picks quantized window buckets
+    — quantized because each bucket is a separate jit variant.
+
+    ``degenerate`` is True when the shear-warp factorization itself
+    degrades: the eye is inside/near the slab range along the dominant
+    axis (the s(k) homothety divisor crosses ~zero, see _render_fast), or
+    the intermediate is magnified >~2x onto the screen (close-up poses:
+    the 1/I reconstruction error scales with magnification). Degenerate
+    poses should be rendered by the exact kernel (HybridBonsaiRenderer
+    does this automatically).
+
+    Returns conservative defaults ``(0, 128, False)`` when the uniform is
+    traced (inside an outer jit) — concrete callers get the real hint.
+    Results are cached by the uniform's bytes (one small device_get per
+    new pose)."""
+    import jax.core as jcore
+
+    pv = camera_uniform.proj_view
+    if isinstance(pv, jcore.Tracer):
+        return 0, 128, False
+    vp_a, ip_a = jax.device_get(
+        (camera_uniform.view_position, camera_uniform.inv_proj)
+    )
+    pv_a = np.asarray(jax.device_get(pv), np.float64)
+    key = (pv_a.tobytes(), bytes(np.asarray(vp_a, np.float64)),
+           width, height, intermediate, d)
+    cached = _HINT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    ii = intermediate
+    fd = float(d)
+    eye = np.asarray(vp_a, np.float64)[:3]
+    inv = np.asarray(ip_a, np.float64)
+
+    # coarse pixel grid (mirrors geometry.rays_fragment)
+    px = np.arange(stride / 2.0, width, stride, dtype=np.float64)
+    py = np.arange(stride / 2.0, height, stride, dtype=np.float64)
+    ndc_x = 2.0 * (px + 0.5) / width - 1.0
+    ndc_y = 1.0 - 2.0 * (py + 0.5) / height
+    gx, gy = np.meshgrid(ndc_x, ndc_y)  # (ny, nx)
+
+    def unproj(z):
+        h = np.stack([gx, gy, np.full_like(gx, z), np.ones_like(gx)], 0)
+        p = np.einsum("ij,jyx->iyx", inv, h)
+        return p[:3] / p[3:4]
+
+    dirs = unproj(1.0) - unproj(0.0)  # (3, ny, nx), unnormalized
+    cy, cx = dirs.shape[1] // 2, dirs.shape[2] // 2
+    fwd = dirs[:, cy, cx]
+    m = int(np.argmax(np.abs(fwd)))
+    ax = {0: (0, 2, 1), 1: (1, 2, 0), 2: (2, 1, 0)}[m]
+    e_t = eye * fd - 0.5
+    em, ev, eu = e_t[ax[0]], e_t[ax[1]], e_t[ax[2]]
+    dm, dv, du = dirs[ax[0]], dirs[ax[1]], dirs[ax[2]]
+    z_ref = (fd - 1.0) / 2.0
+    denom_raw = z_ref - em
+    # degenerate when the eye is inside/near the slab range along m
+    degen = abs(denom_raw) <= (fd - 1.0) / 2.0 + 8.0
+    den = denom_raw
+    if abs(den) < 1.0:
+        den = 1.0 if den >= 0 else -1.0
+
+    ks = np.array([0.5, fd - 1.5])
+
+    def extent(e_axis):
+        s = (ks - em) / den
+        s = np.where(np.abs(s) < 1e-3, np.where(s >= 0, 1e-3, -1e-3), s)
+        both = np.concatenate(
+            [(0.0 - e_axis) / s + e_axis, (fd - 1.0 - e_axis) / s + e_axis]
+        )
+        return both.min(), both.max()
+
+    u_lo, u_hi = extent(eu)
+    v_lo, v_hi = extent(ev)
+
+    # box hit test (slab method on the unit cube)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_d = 1.0 / dirs
+        t0 = (0.0 - eye[:, None, None]) * inv_d
+        t1 = (1.0 - eye[:, None, None]) * inv_d
+        tn = np.minimum(t0, t1).max(axis=0)
+        tf = np.maximum(t0, t1).min(axis=0)
+        hit = tn <= tf
+
+        safe = np.where(np.abs(dm) < 1e-8, 1e-8, dm)
+        xr_u = eu + den * du / safe
+        xr_v = ev + den * dv / safe
+
+    # robust frustum clip of the union extent (mirrors _render_fast)
+    def ray_bbox(xr, lo, hi):
+        vals = xr[hit & np.isfinite(xr)]
+        if vals.size == 0:
+            return lo, hi
+        mn, mx = np.quantile(vals, [0.002, 0.998])
+        pad = 0.05 * (mx - mn) + 2.0
+        return max(lo, mn - pad), min(hi, mx + pad)
+
+    u_lo, u_hi = ray_bbox(xr_u, u_lo, u_hi)
+    v_lo, v_hi = ray_bbox(xr_v, v_lo, v_hi)
+    u_lo, u_hi = u_lo - 1.0, u_hi + 1.0
+    v_lo, v_hi = v_lo - 1.0, v_hi + 1.0
+    su = (u_hi - u_lo) / ii
+    sv = (v_hi - v_lo) / ii
+
+    with np.errstate(invalid="ignore"):
+        bu = (xr_u - u_lo) / su - 0.5
+        av = (xr_v - v_lo) / sv - 0.5
+    ok = (hit & np.isfinite(av) & np.isfinite(bu)
+          & (av > -4.0) & (av < ii + 3.0) & (bu > -4.0) & (bu < ii + 3.0))
+    av = np.where(ok, av, np.nan)
+    bu = np.where(ok, bu, np.nan)
+
+    spt = 32 // stride  # samples per tile side
+    ny, nx = av.shape
+    ty, tx = ny // spt, nx // spt
+
+    def tile_spans(c):
+        import warnings
+
+        t = c[: ty * spt, : tx * spt].reshape(ty, spt, tx, spt)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN tiles
+            s = (np.nanmax(t, axis=(1, 3)) - np.nanmin(t, axis=(1, 3)))
+        # a tile whose samples are mostly parked (silhouette edge) yields a
+        # degenerate near-zero span — it would poison the magnification
+        # median; demand a mostly-interior tile for the statistics
+        n_ok = np.isfinite(t).sum(axis=(1, 3))
+        s = np.where(n_ok >= (spt * spt) * 3 // 4, s, np.nan)
+        return s[np.isfinite(s)]
+
+    vs, us = tile_spans(av), tile_spans(bu)
+    scale = 32.0 / max(32 - stride, 1)  # coarse max-min undercovers
+    if vs.size == 0:
+        win, wu, med = 0, 128, np.inf
+    else:
+        v99 = float(np.quantile(vs, 0.995)) * scale + 6.0
+        u99 = float(np.quantile(us, 0.995)) * scale + 6.0
+        from vokselis_tpu.ops.pallas.warp2d import _win_rows
+
+        default = _win_rows(ii, height, width)
+        if v99 <= default:
+            win = 0
+        elif v99 <= 64:
+            win = 64
+        elif v99 <= 96:
+            win = 96
+        else:
+            win = 128
+        wu = 128 if u99 <= 124 else 256
+        med = float(np.median(vs)) * scale
+    # magnification >~2x: intermediate under-resolved for the screen
+    degen = bool(degen or med < 12.0)
+
+    out = (win, wu, degen)
+    if len(_HINT_CACHE) > 512:
+        _HINT_CACHE.clear()
+    _HINT_CACHE[key] = out
+    return out
 
 
 class FastBonsaiRenderer:
     """renderer="fast": whole-frame shear-warp approximation. Holds the
-    half-shifted per-axis volume packs; call like BonsaiRenderer."""
+    half-shifted per-axis volume packs; call like BonsaiRenderer. The warp
+    window is sized per pose via pose_hint; degenerate poses (see there)
+    still render fast — use HybridBonsaiRenderer for guaranteed accuracy."""
 
     def __init__(self, vol_u8, intermediate: int = 512):
         self.packs = prepare_fast_volume(vol_u8)
         self.intermediate = intermediate
+        self.dims = int(self.packs[0].shape[1])
 
     def __call__(self, camera_uniform, width=1280, height=720, srgb=True,
                  max_steps: int = MAX_STEPS_BONSAI, intermediate=None):
+        ii = intermediate or self.intermediate
+        win, wu, _degen = pose_hint(camera_uniform, width, height, ii,
+                                    self.dims)
         return _render_fast(
-            self.packs, camera_uniform, width, height,
-            intermediate or self.intermediate, srgb,
+            self.packs, camera_uniform, width, height, ii, srgb,
+            warp_win=win, warp_wu=wu,
         )
 
 
