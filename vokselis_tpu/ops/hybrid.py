@@ -52,10 +52,10 @@ from vokselis_tpu.ops.shear_warp import (
 )
 from vokselis_tpu.utils.grid import cdiv
 
-# tile-contrast threshold below which a tile is never re-marched: tuned on
-# the round-3 pose set (tools/hybrid_design.py) so easy poses spend
-# near-zero exact work while hard poses fill the budget
-DEFAULT_THRESH = 5e-3
+# tile-score threshold below which a tile is never re-marched (score =
+# tile-mean warped curvature x sRGB slope — see _render_hybrid): easy
+# poses spend near-zero exact work while hard poses fill the budget
+DEFAULT_THRESH = 1e-3
 DEFAULT_BUDGET = 128
 
 
@@ -87,37 +87,38 @@ def _render_hybrid(
     # 1. fast frame in LINEAR color (srgb once, after the merge), plus the
     # warp's cannot-reconstruct mask (out-of-extent rays + window-overflow
     # pixels — see _warp_to_screen): those pixels are rendered black by
-    # the fast path and MUST be re-marched, independent of contrast
-    img, bad = _render_fast(packs, camera_uniform, width, height,
-                            intermediate, False, warp_win=warp_win,
-                            warp_wu=warp_wu, return_aux=True)
+    # the fast path and MUST be re-marched, independent of contrast; and
+    # the warped curvature field errd — the per-pixel reconstruction-error
+    # density of the bilinear warp (see _warp_to_screen).
+    img, bad, errd = _render_fast(packs, camera_uniform, width, height,
+                                  intermediate, False, warp_win=warp_win,
+                                  warp_wu=warp_wu, return_aux=True)
     rgb = img[..., :3]
 
-    # 2. per-tile silhouette score: edge energy weighted toward
-    # content/background boundaries (the true error tiles are the
-    # silhouette RIM, whose grazing rays are also the cheapest to
-    # re-march; a raw-contrast ranking drifts into dense fbm canopy —
-    # tools/hybrid_study2.py) plus a small raw-contrast term for inner
-    # silhouettes. Scored in sRGB space: the error budget is measured on
-    # the sRGB output, and the study's tile-count curves were fit there —
-    # linear-space scoring underweights dark-side silhouettes (gamma
-    # compresses exactly the low-luminance contrast the rim lives in).
-    lum = linear_to_srgb(jnp.maximum(rgb, 0.0)).mean(axis=-1)
-    gx = jnp.abs(jnp.diff(lum, axis=1, prepend=lum[:, :1]))
-    gy = jnp.abs(jnp.diff(lum, axis=0, prepend=lum[:1]))
+    # 2. per-tile score = warped reconstruction-error density (the
+    # intermediate's curvature sampled at each pixel's own tap — a direct
+    # bound on the bilinear warp's error, not a screen-space heuristic),
+    # converted to the sRGB scale the error budget is measured in via the
+    # transfer's local slope (gamma amplifies dark-region differences up
+    # to 12.92x), plus a small screen-contrast term for the side-entry
+    # sample-phase error the curvature field cannot see.
+    lum = jnp.maximum(rgb.mean(axis=-1), 1e-6)
+    srgb_slope = jnp.where(
+        lum > 0.0031308, (1.055 / 2.4) * lum ** (1.0 / 2.4 - 1.0), 12.92
+    )
+    lums = linear_to_srgb(jnp.maximum(rgb, 0.0)).mean(axis=-1)
+    gx = jnp.abs(jnp.diff(lums, axis=1, prepend=lums[:, :1]))
+    gy = jnp.abs(jnp.diff(lums, axis=0, prepend=lums[:1]))
     edge = gx + gy
-    near_black = jax.lax.reduce_window(
-        lum, jnp.inf, jax.lax.min, (5, 5), (1, 1), "SAME"
-    ) < 5e-3
     ny, nx = height // TILE, width // TILE
     n_tiles = ny * nx
 
     def tile_mean(x):
         return x.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3)).reshape(-1)
 
-    scores = tile_mean(edge * near_black) + 0.08 * tile_mean(edge)
-    # any warp-degraded pixel outranks every contrast score (1e3 >> edge
-    # energies); among degraded tiles, more degraded pixels rank first
+    scores = tile_mean(errd * srgb_slope) + 0.03 * tile_mean(edge)
+    # any warp-degraded pixel outranks every score (1e3 >> error
+    # densities); among degraded tiles, more degraded pixels rank first
     bad_frac = tile_mean(bad.astype(jnp.float32))
     scores = jnp.where(bad_frac > 0.0, 1e3 + bad_frac, scores)
 

@@ -56,10 +56,15 @@ def _warp_kernel(
     bands_hbm,  # (nb, C, band_rows, IW) f32
     avr, bur,  # (8, 128) fractional coords (v, u)
     hitr,  # (8, 128) 1.0 where the pixel participates in the window
-    out_r, out_g, out_b,
-    buf,  # scratch (C, band_rows, IW)
-    win,  # scratch (C * WIN_ROWS, 128) rolled window
-    sem,
+    *rest,  # n_ch output refs, then scratch: buf (C, band_rows, IW),
+    # win (C * WIN_ROWS, 128) rolled window, DMA semaphore
+    **kw,
+):
+    return _warp_kernel_impl(bands_hbm, avr, bur, hitr, rest, **kw)
+
+
+def _warp_kernel_impl(
+    bands_hbm, avr, bur, hitr, rest,
     *,
     ii: int,  # real rows (v extent)
     iw: int,  # real cols (u extent); bands are padded to iw_pad
@@ -82,7 +87,7 @@ def _warp_kernel(
     fa = jnp.clip(av - fav, 0.0, 1.0)
     fb = jnp.clip(bu - fbu, 0.0, 1.0)
 
-    outs = (out_r, out_g, out_b)
+    outs, (buf, win, sem) = rest[:n_ch], rest[n_ch:]
     # all-miss tiles (background is most of the frame at typical poses)
     # skip the DMA and the row scan entirely: the caller masks non-hit
     # pixels to black, so zeros are exact. VOK_WARP_GATE=0 disables for
@@ -164,9 +169,7 @@ def _warp_kernel_mxu(
     chans_ref,  # (C, I, iw_pad) f32 — the WHOLE intermediate, VMEM-resident
     avr, bur,  # (8, 128) fractional coords (v, u)
     hitr,  # (8, 128) 1.0 where the pixel participates in the window
-    out_r, out_g, out_b, out_o,
-    a_win,  # scratch (C * win_rows, win_u) bf16 rolled windows
-    *,
+    *rest,  # n_ch output refs, the overflow-flag ref, the window scratch
     ii: int,
     iw: int,
     iw_pad: int,
@@ -189,6 +192,7 @@ def _warp_kernel_mxu(
     were measured at zoom 1.0 diagonals), so instead of silently clamping,
     the kernel reports exactly which pixels degraded — the hybrid renderer
     re-marches those tiles with the exact kernel."""
+    outs, out_o, a_win = rest[:n_ch], rest[n_ch], rest[n_ch + 1]
     av, bu = avr[:], bur[:]
     hitm = hitr[:] > 0.5
     win_u = min(win_u, iw_pad)
@@ -201,8 +205,6 @@ def _warp_kernel_mxu(
     bu_c = jnp.clip(bu, 0.0, float(iw) - 1.0)
 
     any_hit = jnp.any(hitm) if _GATE else jnp.bool_(True)
-
-    outs = (out_r, out_g, out_b)
 
     @pl.when(jnp.logical_not(any_hit))
     def _():
@@ -282,16 +284,17 @@ def _warp_kernel_mxu(
 
 
 # VMEM budget for the resident-intermediate MXU kernel: (C, I, iw_pad) f32
-# input block + (C*win_rows, 128) scratch + out blocks; 4 MiB leaves room
-# for double-buffered coords under the 16 MiB/core budget
-_MXU_VMEM_CAP = 4 * 1024 * 1024
+# input block + (C*win_rows, win_u) scratch + out blocks; 6 MiB leaves room
+# for double-buffered coords under the 16 MiB/core budget (the hybrid's
+# 4-channel I=512 intermediate is 4.2 MiB)
+_MXU_VMEM_CAP = 6 * 1024 * 1024
 _MXU = os.environ.get("VOK_WARP_MXU", "1") == "1"
 
 
 @partial(jax.jit, static_argnames=("win_rows", "win_u", "with_overflow"))
 def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
                          with_overflow=False):
-    """(C<=3, I, I) channels sampled at (H, W) coords -> (C, H, W).
+    """(C<=4, I, I) channels sampled at (H, W) coords -> (C, H, W).
     ``hit`` (H, W) bool optionally restricts the per-tile sampling window
     to participating pixels (see module docstring).
 
@@ -335,10 +338,10 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
                 pl.BlockSpec((n_ch, ii, iw_pad), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + [block] * 3,
-            out_specs=[block] * 4,
+            out_specs=[block] * (n_ch + 1),
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
-            ] * 4,
+            ] * (n_ch + 1),
             scratch_shapes=[
                 pltpu.VMEM((n_ch * win_rows, max(win_u, 128)), jnp.bfloat16),
             ],
@@ -347,7 +350,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
             _unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]
         ]
         if with_overflow:
-            ovf = _unpack_tiles(outs[3], ph, pw)[:height, :width]
+            ovf = _unpack_tiles(outs[n_ch], ph, pw)[:height, :width]
             return jnp.stack(planes), ovf
         return jnp.stack(planes)
 
@@ -369,8 +372,9 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
                 win_rows=win_rows, band_rows=band_rows, nb=nb, n_ch=n_ch),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 3,
-        out_specs=[block] * 3,
-        out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)] * 3,
+        out_specs=[block] * n_ch,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128),
+                                        jnp.float32)] * n_ch,
         scratch_shapes=[
             pltpu.VMEM((n_ch, band_rows, iw_pad), _CH_DTYPE),
             pltpu.VMEM((n_ch * win_rows + 8, 128), jnp.float32),

@@ -450,21 +450,40 @@ def _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
     av = jnp.where(ok, av, 1e6)
     bu = jnp.where(ok, bu, 1e6)
 
-    out = _warp_bilinear(jnp.stack([r, g, b], 0), av, bu, ok,
+    chans = [r, g, b]
+    if return_aux:
+        # 4th channel: the intermediate's local curvature |lap c| summed
+        # over rgb. The warp's bilinear reconstruction error is bounded by
+        # (fu(1-fu)/2)|f''_u| + (fv(1-fv)/2)|f''_v| — the discrete second
+        # difference AT the sample point is a near-oracle per-pixel error
+        # density, measured where the error originates (silhouette and
+        # volume-edge discontinuities in the COMPOSITED image), unlike any
+        # screen-space contrast heuristic. Warping it alongside rgb costs
+        # one extra hat-matmul channel; the hybrid ranks tiles by it.
+        def curv(c):
+            d2v = jnp.abs(2.0 * c - jnp.roll(c, 1, 0) - jnp.roll(c, -1, 0))
+            d2u = jnp.abs(2.0 * c - jnp.roll(c, 1, 1) - jnp.roll(c, -1, 1))
+            return d2v + d2u
+
+        chans.append(curv(r) + curv(g) + curv(b))
+
+    out = _warp_bilinear(jnp.stack(chans, 0), av, bu, ok,
                          win_rows=warp_win, win_u=warp_wu,
                          with_overflow=return_aux)
     if return_aux:
         planes, wovf = out
     else:
         planes = out
-    rgb = jnp.moveaxis(planes, 0, -1)
+    rgb = jnp.moveaxis(planes[:3], 0, -1)
     rgb = jnp.where(ok[..., None], rgb, 0.0)
     if srgb:
         rgb = linear_to_srgb(rgb)
     alpha = jnp.ones((height, width, 1), jnp.float32)
     img = jnp.concatenate([rgb, alpha], axis=-1)
     if return_aux:
-        return img, (hit & jnp.logical_not(ok)) | (wovf > 0.5)
+        bad = (hit & jnp.logical_not(ok)) | (wovf > 0.5)
+        errd = jnp.where(ok, planes[3], 0.0)
+        return img, bad, errd
     return img
 
 
