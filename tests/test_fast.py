@@ -180,3 +180,99 @@ def test_fast_renderer_eye_inside_is_finite():
                  aspect=1.0)
     img = np.asarray(r(cam.uniform(), width=32, height=32))
     assert np.isfinite(img).all()
+
+
+def test_warp_four_channels(interpret):
+    """The n_ch generalization (hybrid warps rgb + curvature): 4 channels
+    through both kernels match map_coordinates."""
+    from jax.scipy.ndimage import map_coordinates
+    import vokselis_tpu.ops.pallas.warp2d as w2
+
+    rng = np.random.default_rng(3)
+    ii = 64
+    chans = jnp.asarray(rng.random((4, ii, ii), dtype=np.float32))
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
+    av = jnp.asarray(0.8 * yy + 0.2 * xx + 4.0)
+    bu = jnp.asarray(0.1 * yy + 1.0 * xx + 8.0)
+    got = np.asarray(w2.warp_bilinear_pallas(chans, av, bu))
+    want = np.stack([
+        np.asarray(map_coordinates(c, [av, bu], order=1, mode="nearest"))
+        for c in chans
+    ])
+    interior = (np.asarray(av) > 1) & (np.asarray(av) < ii - 2) & \
+               (np.asarray(bu) > 1) & (np.asarray(bu) < ii - 2)
+    assert np.abs(got - want)[:, interior].max() < 5e-3
+
+
+def test_warp_overflow_flag():
+    """The MXU kernel flags hit pixels whose footprint exceeds the window
+    (the hybrid re-marches those tiles); a window covering the footprint
+    clears the flag."""
+    import importlib
+    import jax.experimental.pallas as pl
+    import vokselis_tpu.ops.pallas.warp2d as w2
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        importlib.reload(w2)
+        ii = 128
+        chans = jnp.zeros((3, ii, ii), jnp.float32)
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
+        # v footprint spans ~64 rows inside one 32x32 tile
+        av = jnp.asarray(2.0 * yy + 1.0)
+        bu = jnp.asarray(xx + 1.0)
+        _, ovf_small = w2.warp_bilinear_pallas(
+            chans, av, bu, None, win_rows=16, with_overflow=True)
+        _, ovf_big = w2.warp_bilinear_pallas(
+            chans, av, bu, None, win_rows=96, with_overflow=True)
+        assert np.asarray(ovf_small).sum() > 0
+        assert np.asarray(ovf_big).sum() == 0
+    finally:
+        pl.pallas_call = orig
+        importlib.reload(w2)
+
+
+def test_pose_hint_classification():
+    """pose_hint: close zooms and eye-in-slab-range poses are degenerate;
+    the bench pose is not; diagonal yaws demand wider windows than
+    axis-aligned ones (measured footprint behavior, round 3)."""
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.shear_warp import pose_hint
+
+    def hint(zoom, pitch, yaw):
+        u = Camera(zoom=zoom, pitch=pitch, yaw=yaw,
+                   target=(0.5, 0.5, 0.5), aspect=1.0).uniform()
+        return pose_hint(u, 1024, 1024, 512, 256)
+
+    assert hint(0.6, 0.5, 0.0)[2] is True  # close-up: magnified
+    assert pose_hint(Camera.bonsai(1.0).uniform(), 1024, 1024, 512, 256)[2] \
+        is False
+    ax = hint(1.0, 0.5, 0.0)
+    diag = hint(1.6, 0.5, 2 * np.pi / 8)
+    assert ax[2] is False
+    assert diag[0] > ax[0] or diag[1] > ax[1]  # wider window off-axis
+
+
+def test_render_fast_aux_consistency():
+    """return_aux adds (bad, errd) without changing the frame; excluded
+    pixels are black and flagged."""
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.shear_warp import FastBonsaiRenderer, _render_fast
+    from vokselis_tpu.volume.io import get_bonsai
+
+    vol = get_bonsai(32)
+    r = FastBonsaiRenderer(vol, intermediate=64)
+    u = Camera.bonsai(1.0).uniform()
+    plain = np.asarray(_render_fast(r.packs, u, 96, 96, 64, True))
+    img, bad, errd = _render_fast(r.packs, u, 96, 96, 64, True,
+                                  return_aux=True)
+    img, bad, errd = np.asarray(img), np.asarray(bad), np.asarray(errd)
+    assert np.array_equal(img, plain)
+    assert errd.shape == (96, 96) and (errd >= 0).all()
+    assert img[..., :3][bad].max(initial=0.0) == 0.0  # excluded -> black

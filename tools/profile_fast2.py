@@ -99,7 +99,13 @@ def main():
             return lambda: jf(*args)
         return builder
 
+    only = os.environ.get("VOK_PROF_STAGES", "")
+    wwin = int(os.environ.get("VOK_PROF_WIN", "0"))
+    wwu = int(os.environ.get("VOK_PROF_WU", "128"))
+
     def record(name, fn):
+        if only and name not in only.split(","):
+            return
         t = time.time()
         stages[name] = fn()
         print(f"{name:10s} {stages[name]*1000:7.2f} ms   "
@@ -143,7 +149,8 @@ def main():
     chans0 = jnp.stack([jnp.zeros((ii, ii), jnp.float32)] * 3)
 
     def warp_body(eps, ch, av, bu):
-        p = warp_bilinear_pallas(ch + eps, av, bu, None)
+        p = warp_bilinear_pallas(ch + eps, av, bu, None,
+                                 win_rows=wwin or None, win_u=wwu)
         return p[0, 0, 0] + p[-1, -1, -1]
     record("warp", lambda: slope_time(loop(warp_body, chans0, avv, buu)))
 
@@ -151,12 +158,28 @@ def main():
         def frames(pk, vp, pv, ip):
             def body(i, acc):
                 u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                img = _render_fast(pk, u, width, height, ii, True)
+                img = _render_fast(pk, u, width, height, ii, True,
+                                   warp_win=wwin, warp_wu=wwu)
                 return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         jf = jax.jit(frames, static_argnames=())
         return lambda: jf(packs, u0.view_position, u0.proj_view, u0.inv_proj)
     record("full", lambda: slope_time(full_builder))
+
+    def aux_builder(n):
+        # the hybrid's fast stage: aux outputs + 4-channel warp
+        def frames(pk, vp, pv, ip):
+            def body(i, acc):
+                u = CameraUniform(vp + acc * 1e-20, pv, ip)
+                img, bad, errd = _render_fast(pk, u, width, height, ii,
+                                              False, warp_win=wwin,
+                                              warp_wu=wwu, return_aux=True)
+                return (acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
+                        + errd[0, 0])
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        jf = jax.jit(frames, static_argnames=())
+        return lambda: jf(packs, u0.view_position, u0.proj_view, u0.inv_proj)
+    record("full_aux", lambda: slope_time(aux_builder))
 
     for k, v in stages.items():
         print(f"{k:10s} {v*1000:7.2f} ms")
