@@ -155,6 +155,49 @@ def bench_bonsai_fast(width=1024, height=1024, intermediate=256):
     return width * height / sec / 1e6, sec
 
 
+def bench_bonsai_hybrid(width=1024, height=1024, intermediate=512,
+                        budget=128):
+    """renderer="hybrid" (shear-warp frame + exact re-march of the worst
+    tiles): the north-star mode — >=500 Mrays/s AND <=1e-3 mean error.
+    Returns (mrays, sec, mean_err_vs_exact); the exact Pallas kernel is
+    within ~1e-6 of the jnp oracle (PARITY_REPORT.md), so the error vs it
+    stands in for error vs the oracle at ms cost instead of ~50 s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vokselis_tpu.core.camera import Camera, CameraUniform
+    from vokselis_tpu.ops.hybrid import HybridBonsaiRenderer
+    from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
+    from vokselis_tpu.ops.shear_warp import pose_hint
+    from vokselis_tpu.volume.io import get_bonsai
+
+    u0 = Camera.bonsai(1.0).uniform()
+    vol = get_bonsai()
+    hyb = HybridBonsaiRenderer(vol, intermediate=intermediate, budget=budget)
+    hint = pose_hint(u0, width, height, intermediate, hyb.dims)
+
+    render, pack = build_renderer(vol, with_overflow=True)
+    exact, _ovf = render(pack, u0, width, height)
+    img, _o = hyb._call_traced(u0, width, height, hint=hint)
+    err = float(np.abs(np.asarray(img)[..., :3]
+                       - np.asarray(exact)[..., :3]).mean())
+
+    def build(n):
+        def frames(vp, pv, ip):
+            def body(i, acc):
+                u = CameraUniform(vp + acc * 1e-20, pv, ip)
+                im, _ = hyb._call_traced(u, width, height, hint=hint)
+                return acc + im[0, 0, 0] + im[height // 2, width // 2, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        jf = jax.jit(frames)
+        return lambda: jf(u0.view_position, u0.proj_view, u0.inv_proj)
+
+    sec = slope_time(build)
+    return width * height / sec / 1e6, sec, err
+
+
 def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
     """Config 4: bonsai via the tiled compute-style path, orbiting camera."""
     import jax
@@ -290,12 +333,18 @@ def main():
     _log(f"config 3 bonsai 256^3 @1024^2: {sec*1000:.1f} ms/frame = "
          f"{mrays:.1f} Mrays/s  [{time.time()-t0:.0f}s elapsed]")
 
+    hyb_stats = None
     if not args.cpu_oracle and jax.default_backend() == "tpu":
         for ii in (256, 512) if args.all else (256,):
             m, s = bench_bonsai_fast(intermediate=ii)
             results[f"bonsai_1024_fast_i{ii}"] = (m, s)
             _log(f"renderer='fast' (shear-warp MXU, I={ii}): {s*1000:.2f} ms"
                  f"/frame = {m:.0f} Mrays/s (approximate — see PARITY_REPORT.md)")
+        hm, hs, herr = bench_bonsai_hybrid()
+        hyb_stats = (hm, hs, herr)
+        _log(f"renderer='hybrid' (north-star mode): {hs*1000:.2f} ms/frame ="
+             f" {hm:.0f} Mrays/s at mean err {herr:.2e} vs exact "
+             f"(sweep errors: PARITY_REPORT.md)")
 
     if args.all:
         if not args.cpu_oracle and jax.default_backend() == "tpu":
@@ -331,14 +380,20 @@ def main():
     else:
         mean_err = measure_flagship_err()
         _log(f"flagship mean_err vs oracle at the bench pose: {mean_err:.3e}")
-    print(json.dumps({
+    line = {
         "metric": "Mrays/sec/chip (bonsai 256^3 @ 1024^2, Pallas slab-march)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 500.0, 4),
         "p50_ms": round(sec * 1000.0, 3),
         "mean_err": None if mean_err is None else round(mean_err, 9),
-    }))
+    }
+    if hyb_stats is not None:
+        hm, hs, herr = hyb_stats
+        line["hybrid_mrays"] = round(hm, 1)
+        line["hybrid_p50_ms"] = round(hs * 1000.0, 3)
+        line["hybrid_mean_err"] = round(herr, 9)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

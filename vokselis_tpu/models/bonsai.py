@@ -23,14 +23,21 @@ class BonsaiDemo(Demo):
 
     @classmethod
     def init(cls, ctx, use_pallas: bool | None = None, renderer: str = "exact"):
-        """``renderer``: "exact" (oracle-parity Pallas slab-march) or
-        "fast" (shear-warp MXU approximation, ~14x faster at 1024^2 with
-        ~0.5% mean pixel error — see PARITY_REPORT.md)."""
+        """``renderer``: "exact" (oracle-parity Pallas slab-march), "fast"
+        (shear-warp MXU approximation — see PARITY_REPORT.md), or "hybrid"
+        (fast frame + exact re-march of the worst tiles; meets the <=1e-3
+        mean-error budget at a fraction of the exact kernel's cost, and
+        falls back to the exact kernel at poses where the shear-warp
+        factorization degrades)."""
         vol = get_bonsai()
         if renderer == "fast":
             from vokselis_tpu.ops.shear_warp import FastBonsaiRenderer
 
             return cls(FastBonsaiRenderer(vol), vol)
+        if renderer == "hybrid":
+            from vokselis_tpu.ops.hybrid import HybridBonsaiRenderer
+
+            return cls(HybridBonsaiRenderer(vol), vol)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:

@@ -16,10 +16,13 @@ from vokselis_tpu.ops.reference import (
 )
 from vokselis_tpu.ops.present import present
 from vokselis_tpu.ops.shear_warp import FastBonsaiRenderer, build_fast_renderer
+from vokselis_tpu.ops.hybrid import HybridBonsaiRenderer, build_hybrid_renderer
 
 __all__ = [
     "FastBonsaiRenderer",
     "build_fast_renderer",
+    "HybridBonsaiRenderer",
+    "build_hybrid_renderer",
     "render_bonsai",
     "render_compute_tex",
     "render_compute_inline",

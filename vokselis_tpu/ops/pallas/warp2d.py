@@ -166,7 +166,7 @@ def _warp_kernel_impl(
 
 
 def _warp_kernel_mxu(
-    chans_ref,  # (C, I, iw_pad) f32 — the WHOLE intermediate, VMEM-resident
+    chans_ref,  # (C, I, iw_pad) bf16 — the WHOLE intermediate, VMEM-resident
     avr, bur,  # (8, 128) fractional coords (v, u)
     hitr,  # (8, 128) 1.0 where the pixel participates in the window
     *rest,  # n_ch output refs, the overflow-flag ref, the window scratch
@@ -228,6 +228,8 @@ def _warp_kernel_mxu(
         u_b = jnp.clip(u_lo.astype(jnp.int32), 0, max(iw_pad - win_u, 0))
 
         for c in range(n_ch):
+            # chans are stored bf16 (the hat matmul runs bf16 regardless —
+            # zero precision cost, half the VMEM/DMA)
             rolled = pltpu.roll(
                 chans_ref[c, pl.ds(v_b, win_rows), :], -u_b, 1
             )[:, :win_u]
@@ -283,10 +285,10 @@ def _warp_kernel_mxu(
                 )
 
 
-# VMEM budget for the resident-intermediate MXU kernel: (C, I, iw_pad) f32
-# input block + (C*win_rows, win_u) scratch + out blocks; 6 MiB leaves room
-# for double-buffered coords under the 16 MiB/core budget (the hybrid's
-# 4-channel I=512 intermediate is 4.2 MiB)
+# VMEM budget for the resident-intermediate MXU kernel: (C, I, iw_pad)
+# bf16 input block + (C*win_rows, win_u) scratch + out blocks; 6 MiB
+# leaves room for double-buffered coords under the 16 MiB/core budget
+# (the hybrid's 4-channel I=512 bf16 intermediate is 2.1 MiB; I=768 fits)
 _MXU_VMEM_CAP = 6 * 1024 * 1024
 _MXU = os.environ.get("VOK_WARP_MXU", "1") == "1"
 
@@ -329,7 +331,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
     n_tiles = (ph // TILE) * (pw // TILE)
     block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    if _MXU and n_ch * ii * iw_pad * 4 <= _MXU_VMEM_CAP:
+    if _MXU and n_ch * ii * iw_pad * 2 <= _MXU_VMEM_CAP:
         outs = pl.pallas_call(
             partial(_warp_kernel_mxu, ii=ii, iw=iw, iw_pad=iw_pad,
                     win_rows=win_rows, win_u=win_u, n_ch=n_ch),
@@ -345,7 +347,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
             scratch_shapes=[
                 pltpu.VMEM((n_ch * win_rows, max(win_u, 128)), jnp.bfloat16),
             ],
-        )(chans.astype(jnp.float32), pack(av), pack(bu), pack(hitf))
+        )(chans.astype(jnp.bfloat16), pack(av), pack(bu), pack(hitf))
         planes = [
             _unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]
         ]
