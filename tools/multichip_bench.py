@@ -56,6 +56,12 @@ def _bootstrap(args) -> bool:
     Returns True when the work happened in the subprocess."""
     import jax
 
+    # honor an explicit CPU request BEFORE touching jax.devices(): this
+    # image's sitecustomize pins the axon (TPU-tunnel) platform, and
+    # initializing it here would dial the tunnel (hanging the whole
+    # command when it is down) just to count devices
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     if len(jax.devices()) >= args.devices:
         return False
     env = dict(os.environ)
