@@ -5,7 +5,8 @@ the window-policy sweep's pose set) + slope-timed speed at the bench pose.
 
 Per-pose |hybrid - exact| is reduced ON DEVICE (16 MB/frame transfers
 choke this tunnel). Prints per-pose mean err, the sweep mean/max, and the
-frame time.
+frame time. Results checkpoint to /tmp/hybrid_sweep_<budget>_<ii>.jsonl —
+a rerun skips poses already measured (the tunnel dies mid-sweep at times).
 
 Usage: python tools/hybrid_sweep.py [budget] [intermediate] [n_yaw]
 """
@@ -54,17 +55,36 @@ def main():
         me, mx = diff(h, e)
         return me, mx
 
+    import json
+
+    ckpt_path = f"/tmp/hybrid_sweep_{budget}_{ii}.jsonl"
+    done = {}
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                done[rec["pose"]] = rec
+        print(f"resuming: {len(done)} poses from {ckpt_path}", flush=True)
+    ckpt = open(ckpt_path, "a")
+
     errs, maxes = [], []
     t0 = time.time()
     for zoom in (0.6, 1.0, 1.6):
         for pitch in (0.5, -0.35, 1.2):
             for i in range(n_yaw):
-                cam = Camera(zoom=zoom, pitch=pitch,
-                             yaw=2 * math.pi * i / n_yaw,
-                             target=(0.5, 0.5, 0.5), aspect=1.0)
-                u = cam.uniform()
-                me, mx = err_of(u)
-                me, mx = float(me), float(mx)
+                key = f"{zoom}/{pitch}/{i}"
+                if key in done:
+                    me, mx = done[key]["mean"], done[key]["max"]
+                else:
+                    cam = Camera(zoom=zoom, pitch=pitch,
+                                 yaw=2 * math.pi * i / n_yaw,
+                                 target=(0.5, 0.5, 0.5), aspect=1.0)
+                    u = cam.uniform()
+                    me, mx = err_of(u)
+                    me, mx = float(me), float(mx)
+                    ckpt.write(json.dumps(
+                        {"pose": key, "mean": me, "max": mx}) + "\n")
+                    ckpt.flush()
                 errs.append(me)
                 maxes.append(mx)
                 flag = " <-- over" if me > 1e-3 else ""
