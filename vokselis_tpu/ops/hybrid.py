@@ -187,6 +187,18 @@ class HybridBonsaiRenderer:
         wwin, wwu, degen = (hint if hint is not None else
                             pose_hint(camera_uniform, width, height,
                                       self.intermediate, self.dims))
+        ii = self.intermediate
+        if degen and hint is None:
+            # magnification-degenerate poses may become representable at a
+            # larger intermediate (the bf16-resident MXU warp fits I=768):
+            # ~2.3x the fast frame's cost instead of the exact kernel's
+            # ~10x. Eye-in-slab-range poses stay degenerate at any I.
+            for ii_up in (768,):
+                w2, u2, d2 = pose_hint(camera_uniform, width, height,
+                                       ii_up, self.dims)
+                if not d2:
+                    wwin, wwu, degen, ii = w2, u2, False, ii_up
+                    break
         if degen:
             tps = pick_tiles_per_step(self.dims, width, height,
                                       cap=self.win_cap)
@@ -200,7 +212,7 @@ class HybridBonsaiRenderer:
         win = min(auto_win_rows(self.dims, width, height, 1), self.win_cap)
         img, ovf = _render_hybrid(
             self.packs, self.layouts, camera_uniform,
-            jnp.float32(self.thresh), width, height, self.intermediate,
+            jnp.float32(self.thresh), width, height, ii,
             budget or self.budget, srgb, self.dims, win,
             self.band_rows, self.nb, self.bstride, max_steps,
             wwin, wwu,

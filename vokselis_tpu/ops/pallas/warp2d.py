@@ -286,10 +286,10 @@ def _warp_kernel_mxu(
 
 
 # VMEM budget for the resident-intermediate MXU kernel: (C, I, iw_pad)
-# bf16 input block + (C*win_rows, win_u) scratch + out blocks; 6 MiB
+# bf16 input block + (C*win_rows, win_u) scratch + out blocks; 8 MiB
 # leaves room for double-buffered coords under the 16 MiB/core budget
-# (the hybrid's 4-channel I=512 bf16 intermediate is 2.1 MiB; I=768 fits)
-_MXU_VMEM_CAP = 6 * 1024 * 1024
+# (the hybrid's 4-channel I=768 intermediate pads to 1024 lanes = 6.3 MiB)
+_MXU_VMEM_CAP = 8 * 1024 * 1024
 _MXU = os.environ.get("VOK_WARP_MXU", "1") == "1"
 
 
