@@ -276,3 +276,54 @@ def test_render_fast_aux_consistency():
     assert np.array_equal(img, plain)
     assert errd.shape == (96, 96) and (errd >= 0).all()
     assert img[..., :3][bad].max(initial=0.0) == 0.0  # excluded -> black
+
+
+def test_hybrid_pose_escalation_ladder(monkeypatch):
+    """Degenerate-at-512 poses retry the hint at I=768 before surrendering
+    to the exact kernel; eye-in-range poses (degenerate at every I) fall
+    back; non-degenerate poses render at the configured intermediate."""
+    import vokselis_tpu.ops.hybrid as hy
+
+    calls = {}
+
+    def fake_render_hybrid(packs, layouts, u, thresh, w, h, ii, budget,
+                           srgb, dims, win, band_rows, nb, bstride,
+                           max_steps, wwin=0, wwu=128):
+        calls["mode"] = ("hybrid", ii, wwin, wwu)
+        return "img", 0
+
+    def fake_exact(*a, **k):
+        calls["mode"] = ("exact",)
+        return "img", 0
+
+    hints = {}
+
+    def fake_hint(u, w, h, ii, d):
+        return hints[ii]
+
+    r = hy.HybridBonsaiRenderer.__new__(hy.HybridBonsaiRenderer)
+    r.packs = r.layouts = None
+    r.dims, r.band_rows, r.nb, r.bstride = 32, 80, 1, 16
+    r.win_cap = 64
+    r.intermediate, r.budget, r.thresh = 512, 8, 0.0
+
+    monkeypatch.setattr(hy, "_render_hybrid", fake_render_hybrid)
+    monkeypatch.setattr(hy, "_render_bonsai_pallas", fake_exact)
+    monkeypatch.setattr(hy, "pose_hint", fake_hint)
+
+    hints = {512: (64, 128, False), 768: (96, 128, False)}
+    r._call_traced(None, 64, 64)
+    assert calls["mode"] == ("hybrid", 512, 64, 128)
+
+    hints = {512: (128, 256, True), 768: (128, 256, False)}
+    r._call_traced(None, 64, 64)
+    assert calls["mode"] == ("hybrid", 768, 128, 256)
+
+    hints = {512: (0, 128, True), 768: (0, 128, True)}
+    r._call_traced(None, 64, 64)
+    assert calls["mode"] == ("exact",)
+
+    # a pinned hint bypasses the ladder entirely
+    hints = {}
+    r._call_traced(None, 64, 64, hint=(96, 128, False))
+    assert calls["mode"] == ("hybrid", 512, 96, 128)
