@@ -168,13 +168,19 @@ class Camera:
     def uniform(self) -> CameraUniform:
         pv = self.build_projection_view_matrix()
         inv = np.linalg.inv(pv.astype(np.float64)).astype(np.float32)
-        return CameraUniform(
-            view_position=jnp.asarray(
-                [self.eye[0], self.eye[1], self.eye[2], 1.0], jnp.float32
-            ),
+        vp = np.asarray(
+            [self.eye[0], self.eye[1], self.eye[2], 1.0], np.float32
+        )
+        u = CameraUniform(
+            view_position=jnp.asarray(vp),
             proj_view=jnp.asarray(pv),
             inv_proj=jnp.asarray(inv),
         )
+        # host mirrors: pose_hint reads these instead of a per-frame
+        # device round-trip (~29 ms on the tunnel); non-pytree aux, so
+        # jit/tracing is unaffected and rebuilt uniforms simply lack it
+        u.host_np = (vp, pv, inv)
+        return u
 
     # convenience: the reference per-demo poses
     @classmethod

@@ -548,10 +548,15 @@ def pose_hint(camera_uniform, width: int, height: int, intermediate: int,
     pv = camera_uniform.proj_view
     if isinstance(pv, jcore.Tracer):
         return 0, 128, False
-    vp_a, ip_a = jax.device_get(
-        (camera_uniform.view_position, camera_uniform.inv_proj)
-    )
-    pv_a = np.asarray(jax.device_get(pv), np.float64)
+    host = getattr(camera_uniform, "host_np", None)
+    if host is not None:  # Camera.uniform() attaches host mirrors
+        vp_a, pv_a, ip_a = host
+    else:
+        vp_a, ip_a = jax.device_get(
+            (camera_uniform.view_position, camera_uniform.inv_proj)
+        )
+        pv_a = jax.device_get(pv)
+    pv_a = np.asarray(pv_a, np.float64)
     key = (pv_a.tobytes(), bytes(np.asarray(vp_a, np.float64)),
            width, height, intermediate, d)
     cached = _HINT_CACHE.get(key)
