@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-3 measurement sequence, resumable across TPU-tunnel deaths.
+#
+# Runs (in order), skipping steps whose .done marker exists:
+#   1. the 72-pose hybrid sweep (north-star error check; per-pose
+#      checkpoints inside tools/hybrid_sweep.py survive tunnel deaths)
+#   2. bench.py --all (full config table + the flagship JSON line)
+# Each step first waits for the tunnel to answer a devices() probe.
+# Logs land in /tmp/r3_logs/.
+set -u
+mkdir -p /tmp/r3_logs
+cd "$(dirname "$0")/.."
+
+wait_tunnel() {
+  while true; do
+    if timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      echo "[r3] tunnel alive $(date)"; return 0
+    fi
+    echo "[r3] tunnel dead, retrying $(date)"; sleep 120
+  done
+}
+
+run_step() {  # name cmd...
+  local name=$1; shift
+  local marker=/tmp/r3_logs/$name.done
+  [ -f "$marker" ] && { echo "[r3] $name already done"; return 0; }
+  while true; do
+    wait_tunnel
+    echo "[r3] starting $name $(date)"
+    if timeout 7200 "$@" >> /tmp/r3_logs/$name.log 2>&1; then
+      touch "$marker"; echo "[r3] $name DONE $(date)"; return 0
+    fi
+    echo "[r3] $name failed/timed out, will retry $(date)"
+    sleep 60
+  done
+}
+
+run_step hybrid_sweep python tools/hybrid_sweep.py 128 512
+run_step bench_all python bench.py --all
+echo "[r3] all steps complete $(date)"
