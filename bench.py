@@ -380,19 +380,39 @@ def main():
     else:
         mean_err = measure_flagship_err()
         _log(f"flagship mean_err vs oracle at the bench pose: {mean_err:.3e}")
-    line = {
-        "metric": "Mrays/sec/chip (bonsai 256^3 @ 1024^2, Pallas slab-march)",
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 500.0, 4),
-        "p50_ms": round(sec * 1000.0, 3),
-        "mean_err": None if mean_err is None else round(mean_err, 9),
-    }
-    if hyb_stats is not None:
+    # Flagship mode selection: the north star is a CONJUNCTION (>=500
+    # Mrays/s AND <=1e-3 mean error, BASELINE.json). The hybrid renderer
+    # is the mode built to satisfy it; it is only allowed to headline when
+    # its measured error actually meets the budget — otherwise the exact
+    # kernel stays the honest flagship.
+    if hyb_stats is not None and hyb_stats[2] <= 1e-3:
         hm, hs, herr = hyb_stats
-        line["hybrid_mrays"] = round(hm, 1)
-        line["hybrid_p50_ms"] = round(hs * 1000.0, 3)
-        line["hybrid_mean_err"] = round(herr, 9)
+        line = {
+            "metric": "Mrays/sec/chip (bonsai 256^3 @ 1024^2, hybrid "
+                      "shear-warp + exact tile re-march)",
+            "value": round(hm, 2),
+            "unit": "Mrays/s",
+            "vs_baseline": round(hm / 500.0, 4),
+            "p50_ms": round(hs * 1000.0, 3),
+            "mean_err": round(herr, 9),
+            "exact_mrays": round(mrays, 2),
+            "exact_p50_ms": round(sec * 1000.0, 3),
+            "exact_mean_err": None if mean_err is None else round(mean_err, 9),
+        }
+    else:
+        line = {
+            "metric": "Mrays/sec/chip (bonsai 256^3 @ 1024^2, Pallas slab-march)",
+            "value": round(mrays, 2),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 500.0, 4),
+            "p50_ms": round(sec * 1000.0, 3),
+            "mean_err": None if mean_err is None else round(mean_err, 9),
+        }
+        if hyb_stats is not None:
+            hm, hs, herr = hyb_stats
+            line["hybrid_mrays"] = round(hm, 1)
+            line["hybrid_p50_ms"] = round(hs * 1000.0, 3)
+            line["hybrid_mean_err"] = round(herr, 9)
     print(json.dumps(line))
 
 

@@ -107,6 +107,26 @@ def test_bonsai_kernel_matches_oracle():
     assert err.mean() < 1e-5
 
 
+def test_bonsai_prequad_layout_matches_pairs():
+    """prepare_volume(prequad=True) stores int32 quads in HBM (the u+1
+    neighbor pre-packed with the edge clamp); the kernel's one-roll
+    conversion must yield BIT-IDENTICAL taps to the two-roll u16 path, so
+    the rendered frames match exactly."""
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.volume.io import get_bonsai
+    import vokselis_tpu.ops.pallas.march_bonsai as mb
+
+    vol = get_bonsai(32)
+    u = Camera.bonsai(1.0).uniform()
+    r16 = mb.BonsaiRenderer(vol)
+    r32 = mb.BonsaiRenderer(vol, prequad=True)
+    assert r16.layouts[0].dtype == jnp.uint16
+    assert r32.layouts[0].dtype == jnp.int32
+    img16 = np.asarray(r16(u, width=32, height=32))
+    img32 = np.asarray(r32(u, width=32, height=32))
+    assert np.array_equal(img16, img32)
+
+
 def test_window_and_fusion_policy():
     """auto_win_rows / pick_tiles_per_step encode TPU-measured tradeoffs:
     fused pairs at large frames (96-row floor — est-sized windows overflow

@@ -113,16 +113,19 @@ BAND_STRIDE_SMALL = 16  # for volumes <= 256^3 (layout stays < 1 GiB)
 # iteration overhead outweighs the ~25% fewer scanned rows
 # (env override for A/B experiments only)
 SCAN_GRP = int(os.environ.get("VOK_SCAN_GRP", "16"))
+# default for prepare_volume's prequad option (see its docstring): store
+# int32 quads in HBM so the kernel's conversion is one roll per row group
+_PREQUAD = os.environ.get("VOK_PREQUAD", "0") == "1"
 
 
 def _march_kernel(
     crange_ref,  # scalar-prefetch: (12,) int32 per-class occupied chunk lo/hi
     occ_ref,  # scalar-prefetch: flat int32 occupancy [(chunk*nvb+vb)*nub+ub]
     eye_ref,  # SMEM (3,) f32 camera eye
-    vol_hbm,  # (6*n_chunks*nb, CHUNK, band_rows, D) uint16 slab-pair chunks
+    vol_hbm,  # (6*n_chunks*nb, CHUNK, band_rows, D) u16 pair / i32 quad chunks
     dxr, dyr, dzr, tstr, t1r, hitr,  # raw ray blocks (8, 128)
     out_r, out_g, out_b, out_a, out_ovf,
-    buf_a, buf_b,  # scratch (CHUNK, band_rows, D) uint16 slab pairs
+    buf_a, buf_b,  # scratch (CHUNK, band_rows, D), vol_hbm's dtype
     win2d,  # scratch (CHUNK*win_v + 32, 128) int32 — quad windows
     sem_a, sem_b,
     *,
@@ -320,6 +323,7 @@ def _march_kernel(
 
                 # dequantize + roll the slab windows, in row groups so rows
                 # past n_rows (never read by the scan) skip conversion
+                prequad = buf.dtype == jnp.int32  # HBM already holds quads
                 grp_rows = 16 if win_v % 16 == 0 else 8
                 n_groups = 0 if _ABLATE >= 2 else win_v // grp_rows
                 for src in range(CHUNK):
@@ -327,27 +331,35 @@ def _march_kernel(
                         @pl.when((grp == 0) | (grp * grp_rows < n_rows))
                         def _(src=src, grp=grp):
                             raw = buf[src, pl.ds(v_loc + grp * grp_rows, grp_rows), :]
-                            # int32 QUAD per (v, u): the u16 slab pair at u
-                            # in the low half, the pair at u+1 in the high
-                            # half (second roll) — the row scan fetches the
-                            # whole 2x2 (m, u) tap footprint in ONE gather
-                            w = raw.astype(jnp.int32)
-                            r0 = pltpu.roll(w, -u_b2, 1)
-                            # NOTE a "static" pltpu.roll(r0, dims-1) for the
-                            # neighbor measured SLOWER (42.9 vs 50.8): large
-                            # static rotates lower worse than a second
-                            # dynamic roll here
-                            r1 = pltpu.roll(w, -(u_b2 + 1), 1)
-                            # clamp-to-edge at the volume's last column:
-                            # the roll WRAPS u = D-1's neighbor to column 0;
-                            # the reference clamps (iu1 = min(iu0+1, D-1))
-                            lanes = lax.broadcasted_iota(
-                                jnp.int32, r0.shape, 1
-                            )
-                            r1 = jnp.where(
-                                lanes == (dims - 1) - u_b2, r0, r1
-                            )
-                            quad = (r0 | (r1 << 16))[:, :win_u]
+                            if prequad:
+                                # prepare_volume(prequad=True) pre-packed
+                                # the quads (u+1 edge-clamped): one window-
+                                # aligning roll replaces the whole decode
+                                quad = pltpu.roll(raw, -u_b2, 1)[:, :win_u]
+                            else:
+                                # int32 QUAD per (v, u): the u16 slab pair
+                                # at u in the low half, the pair at u+1 in
+                                # the high half (second roll) — the row scan
+                                # fetches the whole 2x2 (m, u) tap footprint
+                                # of a bilinear sample in ONE gather
+                                w = raw.astype(jnp.int32)
+                                r0 = pltpu.roll(w, -u_b2, 1)
+                                # NOTE a "static" pltpu.roll(r0, dims-1) for
+                                # the neighbor measured SLOWER (42.9 vs
+                                # 50.8): large static rotates lower worse
+                                # than a second dynamic roll here
+                                r1 = pltpu.roll(w, -(u_b2 + 1), 1)
+                                # clamp-to-edge at the volume's last column:
+                                # the roll WRAPS u = D-1's neighbor to col
+                                # 0; the reference clamps (iu1 = min(iu0+1,
+                                # D-1))
+                                lanes = lax.broadcasted_iota(
+                                    jnp.int32, r0.shape, 1
+                                )
+                                r1 = jnp.where(
+                                    lanes == (dims - 1) - u_b2, r0, r1
+                                )
+                                quad = (r0 | (r1 << 16))[:, :win_u]
                             if win_u < 128:
                                 quad = jnp.pad(
                                     quad, ((0, 0), (0, 128 - win_u))
@@ -594,7 +606,7 @@ def _march_kernel(
     out_ovf[:] = jnp.broadcast_to(ovf.astype(jnp.float32), out_ovf.shape)
 
 
-def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
+def prepare_volume(vol_u8, max_win_rows: int = WIN_V, prequad: bool | None = None):
     """Build the six slab-major banded slab-pair (uint16) layouts +
     occupancy.
 
@@ -602,10 +614,21 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
     (m=0,s=+1), (m=0,s=-1), (m=1,s=+1), ... — negative classes use the
     slab-axis-reversed volume so the kernel always sweeps ascending.
 
+    ``prequad=True`` (default: the VOK_PREQUAD env flag) stores int32 QUADS
+    instead of uint16 pairs: the u+1 neighbor pair (volume-edge clamped,
+    exactly the kernel's roll-wrap fix) pre-packed into the high 16 bits.
+    The kernel's per-chunk conversion then needs ONE dynamic roll instead
+    of astype + two rolls + edge-select + shift-or, at the cost of 2x the
+    layout bytes and 2x the per-chunk window DMA — an A/B experiment for
+    the conversion cost (~3.7 ms of the ~17 ms 1024^2 frame, VOK_ABLATE
+    splits). The kernel infers the mode from the pack's dtype.
+
     Returns ``(meta, pack)`` where meta = (dims, band_rows, nb, bstride)
     statics and
     pack = (banded chunks, flat occupancy, per-class chunk ranges) arrays.
     """
+    if prequad is None:
+        prequad = _PREQUAD
     vol_np = np.asarray(vol_u8)
     assert vol_np.dtype == np.uint8, "bonsai kernel wants a uint8 volume"
     d = vol_np.shape[0]
@@ -638,11 +661,19 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V):
     pairs = chunks[:, :CHUNK].astype(np.uint16) | (
         chunks[:, 1:].astype(np.uint16) << 8
     )
+    if prequad:
+        # int32 quad = pair at u | pair at min(u+1, D-1) << 16 — the edge
+        # clamp reproduces the kernel's roll-wrap fix bit-exactly. Built in
+        # uint32 (the high pair's top bit would overflow a signed shift)
+        # and reinterpreted: the kernel's decode masks each byte.
+        p32 = pairs.astype(np.uint32)
+        nbr = np.concatenate([p32[..., 1:], p32[..., -1:]], axis=-1)
+        pairs = (p32 | (nbr << 16)).view(np.int32)
 
     # v-banded copies: band b = rows [64b, 64b + band_rows), zero-padded
     padded = np.zeros(
         (pairs.shape[0], CHUNK, (nb - 1) * bstride + band_rows, d),
-        np.uint16,
+        pairs.dtype,
     )
     padded[:, :, :d, :] = pairs
     banded = np.stack(
@@ -827,8 +858,8 @@ def render_bonsai_rays_pallas(
         ] + [block] * 6,
         out_specs=[block] * 5,
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
-            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
+            pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),
+            pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),
             # +32 rows: the x16-unrolled row scan may over-read past the
             # last slab section (values never match a tap index)
             pltpu.VMEM((CHUNK * min(win_rows, dims) + 32, 128), jnp.int32),
@@ -922,8 +953,8 @@ def render_bonsai_tiles_pallas(
         ] + [in_block] * 6,
         out_specs=[out_block] * 5,
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
-            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
+            pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),
+            pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),
             pltpu.VMEM((CHUNK * min(win_rows, dims) + 32, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -1011,8 +1042,8 @@ def render_bonsai_tiles_into(
         ] + [in_block] * 10,
         out_specs=[in_block] * 4 + [sel_block],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
-            pltpu.VMEM((CHUNK, band_rows, dims), jnp.uint16),
+            pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),
+            pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),
             pltpu.VMEM((CHUNK * min(win_rows, dims) + 32, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -1116,11 +1147,12 @@ class BonsaiRenderer:
     (examples/bonsai/raycast.rs:12-141).
     """
 
-    def __init__(self, vol_u8, win_rows: int = 128):
+    def __init__(self, vol_u8, win_rows: int = 128,
+                 prequad: bool | None = None):
         # layouts are built for the LARGEST window the renderer may use;
         # smaller per-call windows reuse the same bands
         (self.dims, self.band_rows, self.nb, self.bstride), self.layouts = prepare_volume(
-            vol_u8, win_rows
+            vol_u8, win_rows, prequad=prequad
         )
         self.max_win_rows = win_rows
         self.last_overflow = 0
