@@ -37,4 +37,5 @@ run_step() {  # name cmd...
 
 run_step hybrid_sweep python tools/hybrid_sweep.py 128 512
 run_step bench_all python bench.py --all
+run_step prequad_ab python tools/prequad_ab.py
 echo "[r3] all steps complete $(date)"
