@@ -110,10 +110,17 @@ def _render_hybrid(
     gx = jnp.abs(jnp.diff(lums, axis=1, prepend=lums[:, :1]))
     gy = jnp.abs(jnp.diff(lums, axis=0, prepend=lums[:1]))
     edge = gx + gy
-    ny, nx = height // TILE, width // TILE
+    # tile grid over the PADDED frame so n_tiles (and the parked-id
+    # sentinel) matches render_bonsai_tiles_into's cdiv-based count at
+    # non-multiple-of-32 sizes (e.g. the 1280x720 default); padded pixels
+    # score zero, diluting partial edge tiles proportionally
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+    ny, nx = ph // TILE, pw // TILE
     n_tiles = ny * nx
 
     def tile_mean(x):
+        x = jnp.pad(x, ((0, ph - height), (0, pw - width)))
         return x.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3)).reshape(-1)
 
     scores = tile_mean(errd * srgb_slope) + 0.03 * tile_mean(edge)
@@ -128,9 +135,6 @@ def _render_hybrid(
     # 3. exact re-march of the selected tiles, written IN PLACE over the
     # packed fast planes via Pallas output aliasing (an XLA scatter here
     # measured multi-ms — TPU scatters serialize)
-    ph = cdiv(height, TILE) * TILE
-    pw = cdiv(width, TILE) * TILE
-
     def pack_base(x):
         p = _pack_tiles(jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw)
         return jnp.pad(p, ((0, 8), (0, 0)))  # pad tile: parked ids land here
@@ -213,7 +217,7 @@ class HybridBonsaiRenderer:
         img, ovf = _render_hybrid(
             self.packs, self.layouts, camera_uniform,
             jnp.float32(self.thresh), width, height, ii,
-            budget or self.budget, srgb, self.dims, win,
+            self.budget if budget is None else budget, srgb, self.dims, win,
             self.band_rows, self.nb, self.bstride, max_steps,
             wwin, wwu,
         )
@@ -232,18 +236,30 @@ def build_hybrid_renderer(vol_u8, intermediate: int = 512,
                           budget: int = DEFAULT_BUDGET,
                           thresh: float = DEFAULT_THRESH, win_cap: int = 128):
     """Functional (render, pack) pair: render(pack, cam, width, height)
-    -> (H, W, 4); the pack tuple travels as jit arguments."""
+    -> (H, W, 4); the pack tuple travels as jit arguments.
+
+    WARNING: built for jit pipelines where the camera is TRACED, so the
+    host-side pose classification cannot run — render() takes an optional
+    concrete ``hint=(warp_win, warp_wu, degenerate_ignored)`` (from
+    ops.shear_warp.pose_hint at a representative pose) and otherwise uses
+    the default warp windows with NO degenerate-pose exact fallback.
+    Degenerate poses (eye in the slab range, close-up magnification — see
+    pose_hint) degrade beyond what the budgeted re-march repairs; use
+    :class:`HybridBonsaiRenderer` when the pose is concrete, which
+    escalates/falls back automatically."""
     r = HybridBonsaiRenderer(vol_u8, intermediate, budget, thresh, win_cap)
     pack = (r.packs, r.layouts)
 
     def render(pk, camera_uniform, width, height,
-               max_steps=MAX_STEPS_BONSAI, srgb=True):
+               max_steps=MAX_STEPS_BONSAI, srgb=True, hint=None):
         packs, layouts = pk
+        wwin, wwu = (0, 128) if hint is None else (hint[0], hint[1])
         win = min(auto_win_rows(r.dims, width, height, 1), r.win_cap)
         img, _ovf = _render_hybrid(
             packs, layouts, camera_uniform, jnp.float32(thresh),
             width, height, intermediate, budget, srgb,
             r.dims, win, r.band_rows, r.nb, r.bstride, max_steps,
+            wwin, wwu,
         )
         return img
 

@@ -56,8 +56,8 @@ def _warp_kernel(
     bands_hbm,  # (nb, C, band_rows, IW) f32
     avr, bur,  # (8, 128) fractional coords (v, u)
     hitr,  # (8, 128) 1.0 where the pixel participates in the window
-    *rest,  # n_ch output refs, then scratch: buf (C, band_rows, IW),
-    # win (C * WIN_ROWS, 128) rolled window, DMA semaphore
+    *rest,  # n_ch output refs + overflow-flag ref, then scratch:
+    # buf (C, band_rows, IW), win (C * WIN_ROWS, 128) rolled window, DMA sem
     **kw,
 ):
     return _warp_kernel_impl(bands_hbm, avr, bur, hitr, rest, **kw)
@@ -87,7 +87,8 @@ def _warp_kernel_impl(
     fa = jnp.clip(av - fav, 0.0, 1.0)
     fb = jnp.clip(bu - fbu, 0.0, 1.0)
 
-    outs, (buf, win, sem) = rest[:n_ch], rest[n_ch:]
+    outs, out_o = rest[:n_ch], rest[n_ch]
+    buf, win, sem = rest[n_ch + 1:]
     # all-miss tiles (background is most of the frame at typical poses)
     # skip the DMA and the row scan entirely: the caller masks non-hit
     # pixels to black, so zeros are exact. VOK_WARP_GATE=0 disables for
@@ -98,6 +99,7 @@ def _warp_kernel_impl(
     def _():
         for c in range(n_ch):
             outs[c][:] = jnp.zeros_like(avr[:])
+        out_o[:] = jnp.zeros_like(avr[:])
 
     @pl.when(any_hit)
     def _():
@@ -124,6 +126,17 @@ def _warp_kernel_impl(
         # edge-extend instead of going dark — fast-mode artifact, not a crash
         iv0l = jnp.clip((iv0 - vb_f0).astype(jnp.int32), 0, win_rows - 1)
         iv1l = jnp.clip((iv1 - vb_f0).astype(jnp.int32), 0, win_rows - 1)
+        # flag hit pixels whose footprint exceeded the (win_rows, win_u)
+        # window and edge-extended (mirrors the MXU kernel's out_o): the
+        # hybrid re-marches those tiles, restoring the error contract on
+        # this fallback path too
+        out_o[:] = jnp.where(
+            hitm
+            & ((iv0 - vb_f0 > float(win_rows - 2))
+               | (iu0 - ub_f0 > float(win_u - 2))),
+            1.0,
+            0.0,
+        )
 
         cp.wait()
 
@@ -301,11 +314,11 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
     to participating pixels (see module docstring).
 
     ``win_rows``/``win_u`` override the static window size (pose-dependent
-    footprints: see ops.shear_warp.warp_window_hint). With
+    footprints: see ops.shear_warp.pose_hint; the banded scan fallback
+    caps win_u at 128 lanes — wider u footprints flag instead). With
     ``with_overflow=True`` returns (planes, ovf) where ovf (H, W) f32 is
     1.0 at hit pixels whose taps exceeded the window and were edge-clamped
-    (MXU path only; the banded scan fallback returns zeros — size its
-    window via the hint instead)."""
+    (both paths)."""
     n_ch, ii, iw = chans.shape
     # pltpu.roll with a traced shift SILENTLY corrupts on non-power-of-two
     # lane widths (probed: 384 wrong, 256/512 exact) — pad columns up
@@ -374,9 +387,9 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
                 win_rows=win_rows, band_rows=band_rows, nb=nb, n_ch=n_ch),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 3,
-        out_specs=[block] * n_ch,
+        out_specs=[block] * (n_ch + 1),
         out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128),
-                                        jnp.float32)] * n_ch,
+                                        jnp.float32)] * (n_ch + 1),
         scratch_shapes=[
             pltpu.VMEM((n_ch, band_rows, iw_pad), _CH_DTYPE),
             pltpu.VMEM((n_ch * win_rows + 8, 128), jnp.float32),
@@ -384,6 +397,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
         ],
     )(bands, pack(av), pack(bu), pack(hitf))
     planes = [_unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]]
-    if with_overflow:  # scan path has no flag — size the window instead
-        return jnp.stack(planes), jnp.zeros((height, width), jnp.float32)
+    if with_overflow:
+        ovf = _unpack_tiles(outs[n_ch], ph, pw)[:height, :width]
+        return jnp.stack(planes), ovf
     return jnp.stack(planes)

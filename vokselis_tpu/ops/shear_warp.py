@@ -320,8 +320,8 @@ def _render_fast(
 
         res = resample_slabs(volm, pos_u, pos_v, occ=occ2_u)
         r, g, b, a = composite_chunks(res, sgn_i, irho, occ_b=occ_b)
-        return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu,
-                               ev, denom_ref, u_lo, v_lo, su, sv, height,
+        return _warp_to_screen(r, g, b, a, hitf, xr_u, xr_v,
+                               u_lo, v_lo, su, sv, height,
                                width, srgb, warp_win, warp_wu, return_aux)
 
     # ---- XLA path (CPU / tests): grouped matmuls + cumprod composite ------
@@ -399,15 +399,18 @@ def _render_fast(
 
     zero = jnp.zeros((ii, ii), jnp.float32)
     r, g, b, a = lax.fori_loop(0, n_groups, group, (zero, zero, zero, zero))
-    return _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
-                           denom_ref, u_lo, v_lo, su, sv, height, width, srgb,
+    return _warp_to_screen(r, g, b, a, hitf, xr_u, xr_v,
+                           u_lo, v_lo, su, sv, height, width, srgb,
                            warp_win, warp_wu, return_aux)
 
 
-def _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
-                    denom_ref, u_lo, v_lo, su, sv, height, width, srgb,
+def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
+                    u_lo, v_lo, su, sv, height, width, srgb,
                     warp_win=0, warp_wu=128, return_aux=False):
     """Final homography warp of the composited intermediate to the screen.
+    ``hit``/``x_ref_u``/``x_ref_v`` are the full-frame box-hit mask and
+    ref-plane crossings already computed by _render_fast's frustum clip
+    (recomputing them here measured as pure duplicate (H, W) vector work).
 
     With ``return_aux=True`` also returns an (H, W) bool mask of hit
     pixels the warp could NOT reconstruct faithfully: rays whose ref-plane
@@ -418,25 +421,14 @@ def _warp_to_screen(r, g, b, a, eye, dirs, dmx, dvx, dux, em, eu, ev,
     (warp_win, warp_wu) window. The hybrid renderer re-marches those
     pixels' tiles with the exact kernel; fast-only callers render them
     black (bounded error instead of unbounded window-clamp garbage)."""
-    # rays that miss the box are black regardless of the lookup
-    ex = jnp.broadcast_to(eye[0], dirs.shape[:2])
-    ey = jnp.broadcast_to(eye[1], dirs.shape[:2])
-    ez = jnp.broadcast_to(eye[2], dirs.shape[:2])
-    t0, t1 = geometry.intersect_box_soa(
-        ex, ey, ez, dirs[..., 0], dirs[..., 1], dirs[..., 2], 0.0, 1.0
-    )
-    hit = t0 <= t1
-
     # per-pixel ref-plane position -> intermediate pixel coords; misses and
-    # near-parallel rays (dmx ~ 0) are parked at +1e6 so the warp kernel's
-    # window probe and int casts stay finite. Parked HIGH, not low: the
-    # kernel's window base is the block MIN of the coords, so a low park
-    # would drag every silhouette-straddling tile's window to row/col 0
-    # and clamp the hit pixels' taps into it (review finding, round 2);
-    # a high park only widens the scan, and the pixels are masked below.
-    safe_dm = jnp.where(jnp.abs(dmx) < 1e-8, 1e-8, dmx)
-    x_ref_u = eu + denom_ref * dux / safe_dm
-    x_ref_v = ev + denom_ref * dvx / safe_dm
+    # near-parallel rays (d_m ~ 0, sanitized upstream) are parked at +1e6
+    # so the warp kernel's window probe and int casts stay finite. Parked
+    # HIGH, not low: the kernel's window base is the block MIN of the
+    # coords, so a low park would drag every silhouette-straddling tile's
+    # window to row/col 0 and clamp the hit pixels' taps into it (review
+    # finding, round 2); a high park only widens the scan, and the pixels
+    # are masked below.
     bu = (x_ref_u - u_lo) / su - 0.5  # (H, W) intermediate coords
     av = (x_ref_v - v_lo) / sv - 0.5
     ii = r.shape[0]
