@@ -118,7 +118,7 @@ def test_bonsai_prequad_layout_matches_pairs():
 
     vol = get_bonsai(32)
     u = Camera.bonsai(1.0).uniform()
-    r16 = mb.BonsaiRenderer(vol)
+    r16 = mb.BonsaiRenderer(vol, prequad=False)  # pin: VOK_PREQUAD-proof
     r32 = mb.BonsaiRenderer(vol, prequad=True)
     assert r16.layouts[0].dtype == jnp.uint16
     assert r32.layouts[0].dtype == jnp.int32
@@ -470,13 +470,14 @@ def test_prepare_volume_device_matches_host():
     for d in (16, 32):
         vol = ((rng.random((d, d, d)) > 0.6)
                * rng.integers(0, 255, (d, d, d))).astype(np.uint8)
-        meta, pack = mb.prepare_volume(vol, 64)
-        assert meta == mb.volume_layout_meta(d, 64)
-        dev = mb.prepare_volume_device(jnp.asarray(vol), 64)
-        for name, a, b in zip(("banded", "occ", "cranges"), pack, dev):
-            a, b = np.asarray(a), np.asarray(b)
-            assert a.shape == b.shape and a.dtype == b.dtype, name
-            assert (a == b).all(), name
+        for pq in (False, True):
+            meta, pack = mb.prepare_volume(vol, 64, prequad=pq)
+            assert meta == mb.volume_layout_meta(d, 64)
+            dev = mb.prepare_volume_device(jnp.asarray(vol), 64, prequad=pq)
+            for name, a, b in zip(("banded", "occ", "cranges"), pack, dev):
+                a, b = np.asarray(a), np.asarray(b)
+                assert a.shape == b.shape and a.dtype == b.dtype, (name, pq)
+                assert (a == b).all(), (name, pq)
 
 
 def test_generate_density_u8_matches_field():

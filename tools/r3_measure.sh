@@ -5,8 +5,11 @@
 #   1. the 72-pose hybrid sweep (north-star error check; per-pose
 #      checkpoints inside tools/hybrid_sweep.py survive tunnel deaths)
 #   2. bench.py --all (full config table + the flagship JSON line)
-# Each step first waits for the tunnel to answer a devices() probe.
-# Logs land in /tmp/r3_logs/.
+#   3. tools/prequad_ab.py (exact-kernel int32-quad layout A/B)
+# Each step first waits for the tunnel to answer a devices() probe; a step
+# that fails MAX_FAILS times with the tunnel alive is marked .failed and
+# skipped so a deterministic bug can't wedge the sequence. Logs land in
+# /tmp/r3_logs/.
 set -u
 mkdir -p /tmp/r3_logs
 cd "$(dirname "$0")/.."
@@ -20,17 +23,32 @@ wait_tunnel() {
   done
 }
 
+MAX_FAILS=4
+
 run_step() {  # name cmd...
   local name=$1; shift
   local marker=/tmp/r3_logs/$name.done
+  local fails=0
   [ -f "$marker" ] && { echo "[r3] $name already done"; return 0; }
   while true; do
     wait_tunnel
     echo "[r3] starting $name $(date)"
-    if timeout 7200 "$@" >> /tmp/r3_logs/$name.log 2>&1; then
+    local rc=0
+    timeout 7200 "$@" >> /tmp/r3_logs/$name.log 2>&1 || rc=$?
+    if [ "$rc" -eq 0 ]; then
       touch "$marker"; echo "[r3] $name DONE $(date)"; return 0
     fi
-    echo "[r3] $name failed/timed out, will retry $(date)"
+    # only count failures with the tunnel still alive afterwards: a death
+    # mid-step is the tunnel's fault, not the step's
+    if timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      fails=$((fails + 1))
+    fi
+    if [ "$fails" -ge "$MAX_FAILS" ]; then
+      touch /tmp/r3_logs/$name.failed
+      echo "[r3] $name FAILED $fails times on a live tunnel, skipping $(date)"
+      return 1
+    fi
+    echo "[r3] $name failed/timed out (rc=$rc, live-fails=$fails), will retry $(date)"
     sleep 60
   done
 }

@@ -94,6 +94,11 @@ def _render_hybrid(
                                   intermediate, False, warp_win=warp_win,
                                   warp_wu=warp_wu, return_aux=True)
     rgb = img[..., :3]
+    if budget == 0:  # pure fast frame: no tile scoring, no zero-grid call
+        out = linear_to_srgb(rgb) if srgb else rgb
+        alpha = jnp.ones((height, width, 1), jnp.float32)
+        return (jnp.concatenate([out, alpha], axis=-1),
+                jnp.int32(0))
 
     # 2. per-tile score = warped reconstruction-error density (the
     # intermediate's curvature sampled at each pixel's own tap — a direct

@@ -700,16 +700,21 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V, prequad: bool | None = Non
     return meta, pack
 
 
-@partial(jax.jit, static_argnames=("max_win_rows",))
-def prepare_volume_device(vol_u8, max_win_rows: int = WIN_V):
+@partial(jax.jit, static_argnames=("max_win_rows", "prequad"))
+def prepare_volume_device(vol_u8, max_win_rows: int = WIN_V,
+                          prequad: bool | None = None):
     """Device-side (jit) mirror of :func:`prepare_volume` — same six banded
     slab-pair layouts, occupancy tables and per-class chunk ranges, built
     from a TRACED uint8 volume so a time-varying density (config 5's
     per-batch volume update, ops.pallas.genvol.generate_density_u8_pallas)
     can be re-packed in the frame loop instead of through seconds of host
-    numpy. Bit-identical to the host pack (tested); the statics
-    (dims, band_rows, nb, bstride) follow the same formulas and are
-    returned by :func:`volume_layout_meta`."""
+    numpy. Bit-identical to the host pack (tested), including the
+    ``prequad`` int32-quad layout option (default: the VOK_PREQUAD env
+    flag, same as the host builder); the statics (dims, band_rows, nb,
+    bstride) follow the same formulas and are returned by
+    :func:`volume_layout_meta`."""
+    if prequad is None:
+        prequad = _PREQUAD
     d = vol_u8.shape[0]
     assert vol_u8.dtype == jnp.uint8 and vol_u8.shape == (d, d, d)
     n_chunks = cdiv(d + 1, CHUNK)
@@ -736,6 +741,12 @@ def prepare_volume_device(vol_u8, max_win_rows: int = WIN_V):
     pairs = chunks[:, :CHUNK].astype(jnp.uint16) | (
         chunks[:, 1:].astype(jnp.uint16) << 8
     )
+    if prequad:
+        # mirror of the host builder's quad pack: pair at u | edge-clamped
+        # pair at u+1 << 16, built unsigned then bitcast to int32
+        p32 = pairs.astype(jnp.uint32)
+        nbr = jnp.concatenate([p32[..., 1:], p32[..., -1:]], axis=-1)
+        pairs = jax.lax.bitcast_convert_type(p32 | (nbr << 16), jnp.int32)
 
     pad_rows = (nb - 1) * bstride + band_rows
     padded = jnp.pad(pairs, ((0, 0), (0, 0), (0, pad_rows - d), (0, 0)))

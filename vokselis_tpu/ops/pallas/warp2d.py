@@ -73,6 +73,7 @@ def _warp_kernel_impl(
     band_rows: int,
     nb: int,
     n_ch: int,
+    want_ovf: bool,
 ):
     av, bu = avr[:], bur[:]
     hitm = hitr[:] > 0.5
@@ -87,8 +88,9 @@ def _warp_kernel_impl(
     fa = jnp.clip(av - fav, 0.0, 1.0)
     fb = jnp.clip(bu - fbu, 0.0, 1.0)
 
-    outs, out_o = rest[:n_ch], rest[n_ch]
-    buf, win, sem = rest[n_ch + 1:]
+    outs = rest[:n_ch]
+    out_o = rest[n_ch] if want_ovf else None
+    buf, win, sem = rest[n_ch + (1 if want_ovf else 0):]
     # all-miss tiles (background is most of the frame at typical poses)
     # skip the DMA and the row scan entirely: the caller masks non-hit
     # pixels to black, so zeros are exact. VOK_WARP_GATE=0 disables for
@@ -99,7 +101,8 @@ def _warp_kernel_impl(
     def _():
         for c in range(n_ch):
             outs[c][:] = jnp.zeros_like(avr[:])
-        out_o[:] = jnp.zeros_like(avr[:])
+        if want_ovf:
+            out_o[:] = jnp.zeros_like(avr[:])
 
     @pl.when(any_hit)
     def _():
@@ -130,13 +133,14 @@ def _warp_kernel_impl(
         # window and edge-extended (mirrors the MXU kernel's out_o): the
         # hybrid re-marches those tiles, restoring the error contract on
         # this fallback path too
-        out_o[:] = jnp.where(
-            hitm
-            & ((iv0 - vb_f0 > float(win_rows - 2))
-               | (iu0 - ub_f0 > float(win_u - 2))),
-            1.0,
-            0.0,
-        )
+        if want_ovf:
+            out_o[:] = jnp.where(
+                hitm
+                & ((iv0 - vb_f0 > float(win_rows - 2))
+                   | (iu0 - ub_f0 > float(win_u - 2))),
+                1.0,
+                0.0,
+            )
 
         cp.wait()
 
@@ -182,13 +186,14 @@ def _warp_kernel_mxu(
     chans_ref,  # (C, I, iw_pad) bf16 — the WHOLE intermediate, VMEM-resident
     avr, bur,  # (8, 128) fractional coords (v, u)
     hitr,  # (8, 128) 1.0 where the pixel participates in the window
-    *rest,  # n_ch output refs, the overflow-flag ref, the window scratch
+    *rest,  # n_ch output refs, [overflow-flag ref], the window scratch
     ii: int,
     iw: int,
     iw_pad: int,
     win_rows: int,
     win_u: int,
     n_ch: int,
+    want_ovf: bool,
 ):
     """MXU formulation of the per-tile bilinear warp: the u-lerp rides a
     hat-weight matmul (exactly the resample kernel's trick) and the v-lerp
@@ -204,8 +209,11 @@ def _warp_kernel_mxu(
     static window (spans of 100-220 intermediate texels per 32 px tile
     were measured at zoom 1.0 diagonals), so instead of silently clamping,
     the kernel reports exactly which pixels degraded — the hybrid renderer
-    re-marches those tiles with the exact kernel."""
-    outs, out_o, a_win = rest[:n_ch], rest[n_ch], rest[n_ch + 1]
+    re-marches those tiles with the exact kernel (emitted only when the
+    caller asks: fast-only frames skip the flag plane's compute/store)."""
+    outs = rest[:n_ch]
+    out_o = rest[n_ch] if want_ovf else None
+    a_win = rest[n_ch + (1 if want_ovf else 0)]
     av, bu = avr[:], bur[:]
     hitm = hitr[:] > 0.5
     win_u = min(win_u, iw_pad)
@@ -223,7 +231,8 @@ def _warp_kernel_mxu(
     def _():
         for c in range(n_ch):
             outs[c][:] = jnp.zeros_like(avr[:])
-        out_o[:] = jnp.zeros_like(avr[:])
+        if want_ovf:
+            out_o[:] = jnp.zeros_like(avr[:])
 
     @pl.when(any_hit)
     def _():
@@ -257,13 +266,14 @@ def _warp_kernel_mxu(
         # taps iv0 = floor(av_c), iv1 = iv0 + 1 must land in
         # [v_b, v_b + win_rows); same for u — flag hit pixels whose
         # footprint exceeds the window (their taps edge-extend below)
-        out_o[:] = jnp.where(
-            hitm
-            & ((jnp.floor(av_c) - vb_f > float(win_rows - 2))
-               | (jnp.floor(bu_c) - ub_f > float(win_u - 2))),
-            1.0,
-            0.0,
-        )
+        if want_ovf:
+            out_o[:] = jnp.where(
+                hitm
+                & ((jnp.floor(av_c) - vb_f > float(win_rows - 2))
+                   | (jnp.floor(bu_c) - ub_f > float(win_u - 2))),
+                1.0,
+                0.0,
+            )
 
         # window-local coords; out-of-window footprints (extreme zoom)
         # edge-extend exactly like the scan kernel's tap clamp
@@ -344,19 +354,21 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
     n_tiles = (ph // TILE) * (pw // TILE)
     block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    n_out = n_ch + (1 if with_overflow else 0)
     if _MXU and n_ch * ii * iw_pad * 2 <= _MXU_VMEM_CAP:
         outs = pl.pallas_call(
             partial(_warp_kernel_mxu, ii=ii, iw=iw, iw_pad=iw_pad,
-                    win_rows=win_rows, win_u=win_u, n_ch=n_ch),
+                    win_rows=win_rows, win_u=win_u, n_ch=n_ch,
+                    want_ovf=with_overflow),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((n_ch, ii, iw_pad), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + [block] * 3,
-            out_specs=[block] * (n_ch + 1),
+            out_specs=[block] * n_out,
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
-            ] * (n_ch + 1),
+            ] * n_out,
             scratch_shapes=[
                 pltpu.VMEM((n_ch * win_rows, max(win_u, 128)), jnp.bfloat16),
             ],
@@ -384,12 +396,13 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
 
     outs = pl.pallas_call(
         partial(_warp_kernel, ii=ii, iw=iw, iw_pad=iw_pad,
-                win_rows=win_rows, band_rows=band_rows, nb=nb, n_ch=n_ch),
+                win_rows=win_rows, band_rows=band_rows, nb=nb, n_ch=n_ch,
+                want_ovf=with_overflow),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 3,
-        out_specs=[block] * (n_ch + 1),
+        out_specs=[block] * n_out,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * 8, 128),
-                                        jnp.float32)] * (n_ch + 1),
+                                        jnp.float32)] * n_out,
         scratch_shapes=[
             pltpu.VMEM((n_ch, band_rows, iw_pad), _CH_DTYPE),
             pltpu.VMEM((n_ch * win_rows + 8, 128), jnp.float32),
