@@ -134,6 +134,7 @@ def _render_hybrid(
     bad_frac = tile_mean(bad.astype(jnp.float32))
     scores = jnp.where(bad_frac > 0.0, 1e3 + bad_frac, scores)
 
+    budget = min(budget, n_tiles)  # small frames: top_k k must fit
     vals, ids = jax.lax.top_k(scores, budget)
     ids = jnp.where(vals > thresh, ids, n_tiles)  # park below-thresh picks
 

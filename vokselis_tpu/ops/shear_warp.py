@@ -587,6 +587,19 @@ def pose_hint(camera_uniform, width: int, height: int, intermediate: int,
     den = denom_raw
     if abs(den) < 1.0:
         den = 1.0 if den >= 0 else -1.0
+    # ... or when the NEAREST slab's homothety scale collapses: slab k's
+    # crossing pattern scales by s(k) = (k - em)/den about the eye, and the
+    # intermediate's extent is normalized over ALL slabs, so the nearest
+    # slab is resolved at ~s_near x the intermediate resolution. Close-up
+    # poses (eye just outside a box face, e.g. zoom 0.6: s_near 0.06-0.12
+    # vs 0.43+ at zoom >= 1.0 — a wide, stable gap) under-resolve the near
+    # slabs >= 4x and surface the per-slab sample-phase error as concentric
+    # banding the re-march budget cannot cover (measured: diffuse 5e-3
+    # mean over 62/64 tiles at zoom 0.6 / pitch 1.2). s_near is
+    # intermediate-independent, so these poses go straight to the exact
+    # kernel rather than up the I-escalation ladder.
+    s_near = min(abs((0.5 - em) / den), abs((fd - 1.5 - em) / den))
+    degen = degen or s_near < 0.25
 
     ks = np.array([0.5, fd - 1.5])
 
