@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -156,7 +157,7 @@ def bench_bonsai_fast(width=1024, height=1024, intermediate=256):
 
 
 def bench_bonsai_hybrid(width=1024, height=1024, intermediate=512,
-                        budget=128):
+                        budget=None):
     """renderer="hybrid" (shear-warp frame + exact re-march of the worst
     tiles): the north-star mode — >=500 Mrays/s AND <=1e-3 mean error.
     Returns (mrays, sec, mean_err_vs_exact); the exact Pallas kernel is
@@ -172,6 +173,10 @@ def bench_bonsai_hybrid(width=1024, height=1024, intermediate=512,
     from vokselis_tpu.ops.shear_warp import pose_hint
     from vokselis_tpu.volume.io import get_bonsai
 
+    if budget is None:
+        # default from the measured operating point (the conjunction's
+        # speed/error dial, tools/hybrid_operating_point.py)
+        budget = int(os.environ.get("VOK_HYBRID_BUDGET", "128"))
     u0 = Camera.bonsai(1.0).uniform()
     vol = get_bonsai()
     hyb = HybridBonsaiRenderer(vol, intermediate=intermediate, budget=budget)
@@ -195,7 +200,7 @@ def bench_bonsai_hybrid(width=1024, height=1024, intermediate=512,
         return lambda: jf(u0.view_position, u0.proj_view, u0.inv_proj)
 
     sec = slope_time(build)
-    return width * height / sec / 1e6, sec, err
+    return width * height / sec / 1e6, sec, err, budget
 
 
 def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
@@ -340,11 +345,11 @@ def main():
             results[f"bonsai_1024_fast_i{ii}"] = (m, s)
             _log(f"renderer='fast' (shear-warp MXU, I={ii}): {s*1000:.2f} ms"
                  f"/frame = {m:.0f} Mrays/s (approximate — see PARITY_REPORT.md)")
-        hm, hs, herr = bench_bonsai_hybrid()
-        hyb_stats = (hm, hs, herr)
-        _log(f"renderer='hybrid' (north-star mode): {hs*1000:.2f} ms/frame ="
-             f" {hm:.0f} Mrays/s at mean err {herr:.2e} vs exact "
-             f"(sweep errors: PARITY_REPORT.md)")
+        hm, hs, herr, hbud = bench_bonsai_hybrid()
+        hyb_stats = (hm, hs, herr, hbud)
+        _log(f"renderer='hybrid' (north-star mode, budget={hbud}): "
+             f"{hs*1000:.2f} ms/frame = {hm:.0f} Mrays/s at mean err "
+             f"{herr:.2e} vs exact (sweep errors: PARITY_REPORT.md)")
 
     if args.all:
         if not args.cpu_oracle and jax.default_backend() == "tpu":
@@ -386,7 +391,7 @@ def main():
     # its measured error actually meets the budget — otherwise the exact
     # kernel stays the honest flagship.
     if hyb_stats is not None and hyb_stats[2] <= 1e-3:
-        hm, hs, herr = hyb_stats
+        hm, hs, herr, hbud = hyb_stats
         line = {
             "metric": "Mrays/sec/chip (bonsai 256^3 @ 1024^2, hybrid "
                       "shear-warp + exact tile re-march)",
@@ -395,6 +400,7 @@ def main():
             "vs_baseline": round(hm / 500.0, 4),
             "p50_ms": round(hs * 1000.0, 3),
             "mean_err": round(herr, 9),
+            "hybrid_budget": hbud,
             "exact_mrays": round(mrays, 2),
             "exact_p50_ms": round(sec * 1000.0, 3),
             "exact_mean_err": None if mean_err is None else round(mean_err, 9),
@@ -409,10 +415,11 @@ def main():
             "mean_err": None if mean_err is None else round(mean_err, 9),
         }
         if hyb_stats is not None:
-            hm, hs, herr = hyb_stats
+            hm, hs, herr, hbud = hyb_stats
             line["hybrid_mrays"] = round(hm, 1)
             line["hybrid_p50_ms"] = round(hs * 1000.0, 3)
             line["hybrid_mean_err"] = round(herr, 9)
+            line["hybrid_budget"] = hbud
     print(json.dumps(line))
 
 

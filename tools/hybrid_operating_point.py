@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Find the hybrid's north-star OPERATING POINT: the smallest re-march
+budget whose error clears the 1e-3 budget with margin, and whether its
+frame time clears 500 Mrays/s (the conjunction, BASELINE.json).
+
+The re-march cost scales ~linearly with budget (each selected 32x32 tile
+marches all slabs), so budget is the speed/error dial: at 1024^2 the
+exact kernel's ~17 ms full frame prices budget=128 at ~2.1 ms on top of
+the ~1.6 ms fast frame — too slow for 500 Mrays/s — while budget<=32
+fits if the curvature-channel selection really concentrates the error.
+
+For each budget: mean |hybrid - exact| (device-reduced) on the bench pose
+plus three probe poses (axis, zoom-out diagonal, tilted axis — the round-3
+error-probe set; zoom-0.6 close-ups are degenerate -> exact and don't
+depend on budget), and the slope-timed frame cost at the bench pose.
+Checkpoints to /tmp/hybrid_oppoint_<ii>.jsonl; rerun resumes. Final line
+prints the chosen operating point as JSON.
+
+Usage: python tools/hybrid_operating_point.py [ii] [budgets,csv]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+W = H = 1024
+ERR_TARGET = 8e-4  # margin under the 1e-3 budget for sweep-wide safety
+MRAYS_TARGET = 500.0
+
+
+def main():
+    ii = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # each budget is a fresh jit variant (~4 min remote compile for the
+    # hybrid frame + two fori timing variants): keep the default list tight
+    budgets = ([int(b) for b in sys.argv[2].split(",")]
+               if len(sys.argv) > 2 else [16, 32, 48, 64, 128])
+
+    from bench import slope_time
+    from vokselis_tpu.core.camera import Camera, CameraUniform
+    from vokselis_tpu.ops.hybrid import HybridBonsaiRenderer
+    from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
+    from vokselis_tpu.ops.shear_warp import pose_hint
+    from vokselis_tpu.volume.io import get_bonsai
+
+    poses = {
+        "bench": Camera.bonsai(1.0),
+        "z1.0-axis": Camera(zoom=1.0, pitch=0.0, yaw=0.0,
+                            target=(0.5, 0.5, 0.5), aspect=1.0),
+        "z1.6-diag": Camera(zoom=1.6, pitch=0.5, yaw=math.pi / 4,
+                            target=(0.5, 0.5, 0.5), aspect=1.0),
+        "z1.0-tilt": Camera(zoom=1.0, pitch=-0.35, yaw=0.0,
+                            target=(0.5, 0.5, 0.5), aspect=1.0),
+    }
+
+    vol = get_bonsai()
+    render, pack = build_renderer(vol, with_overflow=True)
+
+    ckpt_path = f"/tmp/hybrid_oppoint_{ii}.jsonl"
+    done = {}
+    if os.path.exists(ckpt_path):
+        for line in open(ckpt_path):
+            rec = json.loads(line)
+            done[rec["budget"]] = rec
+        print(f"resuming: {len(done)} budgets from {ckpt_path}", flush=True)
+    ckpt = open(ckpt_path, "a")
+
+    @jax.jit
+    def mean_err(h, e):
+        return jnp.abs(h[..., :3] - e[..., :3]).mean()
+
+    exact = {k: render(pack, c.uniform(), W, H)[0] for k, c in poses.items()}
+
+    results = []
+    for budget in budgets:
+        if budget in done:
+            results.append(done[budget])
+            print(f"budget={budget}: cached {done[budget]}", flush=True)
+            continue
+        t0 = time.time()
+        hyb = HybridBonsaiRenderer(vol, intermediate=ii, budget=budget)
+        errs = {}
+        for name, cam in poses.items():
+            u = cam.uniform()
+            h, _ = hyb._call_traced(u, W, H)
+            errs[name] = float(mean_err(h, exact[name]))
+
+        u0 = poses["bench"].uniform()
+        hint = pose_hint(u0, W, H, ii, hyb.dims)
+
+        def build(n):
+            def frames(vp, pv, ip):
+                def body(i, acc):
+                    u = CameraUniform(vp + acc * 1e-20, pv, ip)
+                    img, _o = hyb._call_traced(u, W, H, hint=hint)
+                    return acc + img[0, 0, 0] + img[H // 2, W // 2, 0]
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            jf = jax.jit(frames)
+            return lambda: jf(u0.view_position, u0.proj_view, u0.inv_proj)
+
+        sec = slope_time(build)
+        rec = {"budget": budget, "ii": ii, "ms": round(sec * 1000, 3),
+               "mrays": round(W * H / sec / 1e6, 1),
+               "errs": {k: round(v, 9) for k, v in errs.items()},
+               "wall_s": round(time.time() - t0, 1)}
+        results.append(rec)
+        ckpt.write(json.dumps(rec) + "\n")
+        ckpt.flush()
+        print(rec, flush=True)
+
+    ok = [r for r in results
+          if max(r["errs"].values()) <= ERR_TARGET
+          and r["mrays"] >= MRAYS_TARGET]
+    # smallest budget is fastest; prefer the LARGEST budget that still
+    # clears 500 Mrays/s (error margin buys sweep-wide robustness)
+    chosen = max(ok, key=lambda r: r["budget"]) if ok else None
+    out = {"operating_point": chosen,
+           "note": ("conjunction satisfied" if chosen else
+                    "NO budget satisfies the conjunction at this ii")}
+    with open(f"/tmp/r3_logs/oppoint_{ii}.json", "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    os.makedirs("/tmp/r3_logs", exist_ok=True)
+    main()

@@ -2,10 +2,12 @@
 # Round-3 measurement sequence, resumable across TPU-tunnel deaths.
 #
 # Runs (in order), skipping steps whose .done marker exists:
-#   1. the 72-pose hybrid sweep (north-star error check; per-pose
-#      checkpoints inside tools/hybrid_sweep.py survive tunnel deaths)
-#   2. bench.py --all (full config table + the flagship JSON line)
-#   3. tools/prequad_ab.py (exact-kernel int32-quad layout A/B)
+#   1. tools/hybrid_operating_point.py (budget dial: smallest error-safe
+#      budget that clears 500 Mrays/s; writes /tmp/r3_logs/oppoint_512.json)
+#   2. the 72-pose hybrid sweep AT that budget (north-star error check;
+#      per-pose checkpoints inside tools/hybrid_sweep.py survive deaths)
+#   3. bench.py --all with VOK_HYBRID_BUDGET pinned to the same point
+#   4. tools/prequad_ab.py (exact-kernel int32-quad layout A/B)
 # Each step first waits for the tunnel to answer a devices() probe; a step
 # that fails MAX_FAILS times with the tunnel alive is marked .failed and
 # skipped so a deterministic bug can't wedge the sequence. Logs land in
@@ -53,7 +55,22 @@ run_step() {  # name cmd...
   done
 }
 
-run_step hybrid_sweep python tools/hybrid_sweep.py 128 512
-run_step bench_all python bench.py --all
+run_step oppoint python tools/hybrid_operating_point.py 512
+
+# budget from the measured operating point (fallback 64: the midpoint if
+# the probe found no conjunction — the sweep still reports honest errors)
+BUDGET=$(python - <<'EOF'
+import json
+try:
+    op = json.load(open("/tmp/r3_logs/oppoint_512.json"))["operating_point"]
+    print(op["budget"] if op else 64)
+except Exception:
+    print(64)
+EOF
+)
+echo "[r3] hybrid budget = $BUDGET"
+
+run_step hybrid_sweep python tools/hybrid_sweep.py "$BUDGET" 512
+VOK_HYBRID_BUDGET=$BUDGET run_step bench_all python bench.py --all
 run_step prequad_ab python tools/prequad_ab.py
 echo "[r3] all steps complete $(date)"
