@@ -257,6 +257,16 @@ def test_pose_hint_classification():
     diag = hint(1.6, 0.5, 2 * np.pi / 8)
     assert ax[2] is False
     assert diag[0] > ax[0] or diag[1] > ax[1]  # wider window off-axis
+    # near-slab scale collapse (s_near < 0.25): every zoom-0.6 close-up is
+    # degenerate at EVERY intermediate — the per-slab sample-phase banding
+    # those poses surface is intermediate-independent (CPU 72-pose sweep,
+    # round 3: 5e-3 diffuse error at zoom 0.6 / pitch 1.2 before this)
+    for yaw in (0.0, np.pi / 4):
+        assert hint(0.6, 1.2, yaw)[2] is True
+        u = Camera(zoom=0.6, pitch=1.2, yaw=yaw,
+                   target=(0.5, 0.5, 0.5), aspect=1.0).uniform()
+        assert pose_hint(u, 1024, 1024, 768, 256)[2] is True
+    assert hint(1.0, 1.2, 0.0)[2] is False  # zoom 1.0: s_near ~0.47
 
 
 def test_render_fast_aux_consistency():
