@@ -156,7 +156,7 @@ def bench_bonsai_fast(width=1024, height=1024, intermediate=256):
     return width * height / sec / 1e6, sec
 
 
-def bench_bonsai_hybrid(width=1024, height=1024, intermediate=512,
+def bench_bonsai_hybrid(width=1024, height=1024, intermediate=None,
                         budget=None):
     """renderer="hybrid" (shear-warp frame + exact re-march of the worst
     tiles): the north-star mode — >=500 Mrays/s AND <=1e-3 mean error.
@@ -174,9 +174,11 @@ def bench_bonsai_hybrid(width=1024, height=1024, intermediate=512,
     from vokselis_tpu.volume.io import get_bonsai
 
     if budget is None:
-        # default from the measured operating point (the conjunction's
-        # speed/error dial, tools/hybrid_operating_point.py)
+        # defaults from the measured operating point (the conjunction's
+        # speed/error dials, tools/hybrid_operating_point.py)
         budget = int(os.environ.get("VOK_HYBRID_BUDGET", "128"))
+    if intermediate is None:
+        intermediate = int(os.environ.get("VOK_HYBRID_II", "512"))
     u0 = Camera.bonsai(1.0).uniform()
     vol = get_bonsai()
     hyb = HybridBonsaiRenderer(vol, intermediate=intermediate, budget=budget)

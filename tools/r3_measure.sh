@@ -57,20 +57,33 @@ run_step() {  # name cmd...
 
 run_step oppoint python tools/hybrid_operating_point.py 512
 
+# if I=512 has no conjunction point, probe I=256 (cheaper fast frame ->
+# more budget fits under 2.1 ms; 2x the fast error -> selection works
+# harder) before settling
+II=512
+if python -c "import json,sys; op=json.load(open('/tmp/r3_logs/oppoint_512.json'))['operating_point']; sys.exit(0 if op else 1)" 2>/dev/null; then
+  :
+else
+  run_step oppoint256 python tools/hybrid_operating_point.py 256
+  if python -c "import json,sys; op=json.load(open('/tmp/r3_logs/oppoint_256.json'))['operating_point']; sys.exit(0 if op else 1)" 2>/dev/null; then
+    II=256
+  fi
+fi
+
 # budget from the measured operating point (fallback 64: the midpoint if
-# the probe found no conjunction — the sweep still reports honest errors)
-BUDGET=$(python - <<'EOF'
+# no probe found a conjunction — the sweep still reports honest errors)
+BUDGET=$(python - <<EOF
 import json
 try:
-    op = json.load(open("/tmp/r3_logs/oppoint_512.json"))["operating_point"]
+    op = json.load(open("/tmp/r3_logs/oppoint_${II}.json"))["operating_point"]
     print(op["budget"] if op else 64)
 except Exception:
     print(64)
 EOF
 )
-echo "[r3] hybrid budget = $BUDGET"
+echo "[r3] hybrid operating point: I=$II budget=$BUDGET"
 
-run_step hybrid_sweep python tools/hybrid_sweep.py "$BUDGET" 512
-VOK_HYBRID_BUDGET=$BUDGET run_step bench_all python bench.py --all
+run_step hybrid_sweep python tools/hybrid_sweep.py "$BUDGET" "$II"
+VOK_HYBRID_BUDGET=$BUDGET VOK_HYBRID_II=$II run_step bench_all python bench.py --all
 run_step prequad_ab python tools/prequad_ab.py
 echo "[r3] all steps complete $(date)"
