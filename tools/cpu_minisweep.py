@@ -11,6 +11,15 @@ diffuse 5e-3 error (the s_near < 0.25 degeneracy criterion came from
 this sweep). Error magnitudes are NOT the north-star numbers (different
 resolution/intermediate); the signal is poses escaping their class.
 
+Known 256^2-only residual: the worst remaining poses (zoom 1.6, a few
+e-4) are re-march WINDOW OVERFLOW, not selection misses — per-tile slab
+footprints scale as dims*TILE/frame, so a 256^2 frame demands >128
+window rows at diagonal zoom-outs while the VMEM cap is 128 (the
+renderer's last_overflow reports it; verified the selected tiles were
+exactly the true-error tiles). At 1024^2 footprints are 4x smaller
+(win 56-96, clean across the round-2 window sweep) and the class
+disappears.
+
 Checkpoints per pose to /tmp/cpu_minisweep.jsonl; rerun resumes.
 Runtime ~10 min cold, ~7 s/pose warm. Usage: python tools/cpu_minisweep.py
 """
