@@ -27,6 +27,19 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _load_oppoint():
+    """Measured hybrid operating point (budget/intermediate), committed by
+    tools/r3_measure.sh as OPPOINT.json. Empty dict if absent/invalid."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "OPPOINT.json")
+    try:
+        with open(path) as f:
+            op = json.load(f).get("operating_point") or {}
+        return op if isinstance(op, dict) else {}
+    except Exception:
+        return {}
+
+
 def slope_time(build_frames_fn, n_hi: int = 5, repeats: int = 5):
     """Per-frame seconds via multi-frame dispatch slope.
 
@@ -173,12 +186,16 @@ def bench_bonsai_hybrid(width=1024, height=1024, intermediate=None,
     from vokselis_tpu.ops.shear_warp import pose_hint
     from vokselis_tpu.volume.io import get_bonsai
 
+    op = _load_oppoint()
     if budget is None:
         # defaults from the measured operating point (the conjunction's
-        # speed/error dials, tools/hybrid_operating_point.py)
-        budget = int(os.environ.get("VOK_HYBRID_BUDGET", "128"))
+        # speed/error dials, tools/hybrid_operating_point.py; committed to
+        # OPPOINT.json by the round-3 measurement driver)
+        budget = int(os.environ.get("VOK_HYBRID_BUDGET",
+                                    op.get("budget", 128)))
     if intermediate is None:
-        intermediate = int(os.environ.get("VOK_HYBRID_II", "512"))
+        intermediate = int(os.environ.get("VOK_HYBRID_II",
+                                          op.get("ii", 512)))
     u0 = Camera.bonsai(1.0).uniform()
     vol = get_bonsai()
     hyb = HybridBonsaiRenderer(vol, intermediate=intermediate, budget=budget)

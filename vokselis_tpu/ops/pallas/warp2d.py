@@ -251,9 +251,12 @@ def _warp_kernel_mxu(
 
         for c in range(n_ch):
             # chans are stored bf16 (the hat matmul runs bf16 regardless —
-            # zero precision cost, half the VMEM/DMA)
+            # zero precision cost, half the VMEM/DMA) but the roll must run
+            # f32: Mosaic's dynamic rotate is 32-bit-only ("Rotate with
+            # non-32-bit data" compile error on a traced-shift bf16 roll)
             rolled = pltpu.roll(
-                chans_ref[c, pl.ds(v_b, win_rows), :], -u_b, 1
+                chans_ref[c, pl.ds(v_b, win_rows), :].astype(jnp.float32),
+                -u_b, 1,
             )[:, :win_u]
             if win_u < wk:  # clipped bu_l <= win_u-1 zeroes the pad's hats
                 rolled = jnp.pad(rolled, ((0, 0), (0, wk - win_u)))
