@@ -207,16 +207,20 @@ def bench_bonsai_hybrid(width=1024, height=1024, intermediate=None,
     err = float(np.abs(np.asarray(img)[..., :3]
                        - np.asarray(exact)[..., :3]).mean())
 
+    # packs/layouts as jit ARGUMENTS: closing over them bakes ~100 MB of
+    # constants into the HLO -> HTTP 413 on the remote-compile hop
+    frender, fpack = hyb.functional()
+
     def build(n):
-        def frames(vp, pv, ip):
+        def frames(pk, vp, pv, ip):
             def body(i, acc):
                 u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                im, _ = hyb._call_traced(u, width, height, hint=hint)
+                im, _ = frender(pk, u, width, height, hint=hint)
                 return acc + im[0, 0, 0] + im[height // 2, width // 2, 0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         jf = jax.jit(frames)
-        return lambda: jf(u0.view_position, u0.proj_view, u0.inv_proj)
+        return lambda: jf(fpack, u0.view_position, u0.proj_view, u0.inv_proj)
 
     sec = slope_time(build)
     return width * height / sec / 1e6, sec, err, budget

@@ -104,15 +104,19 @@ def main():
     hint = pose_hint(u0, W, H, ii, hyb.dims)
     print(f"bench-pose hint (win, wu, degen): {hint}", flush=True)
 
+    # packs/layouts as jit ARGUMENTS: closing over them bakes ~100 MB of
+    # constants into the HLO -> HTTP 413 on the remote-compile hop
+    frender, fpack = hyb.functional()
+
     def build(n):
-        def frames(vp, pv, ip):
+        def frames(pk, vp, pv, ip):
             def body(i, acc):
                 u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                img, _o = hyb._call_traced(u, W, H, hint=hint)
+                img, _o = frender(pk, u, W, H, hint=hint)
                 return acc + img[0, 0, 0] + img[H // 2, W // 2, 0]
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         jf = jax.jit(frames)
-        return lambda: jf(u0.view_position, u0.proj_view, u0.inv_proj)
+        return lambda: jf(fpack, u0.view_position, u0.proj_view, u0.inv_proj)
 
     sec = slope_time(build)
     print(f"hybrid frame at bench pose: {sec*1000:.2f} ms = "

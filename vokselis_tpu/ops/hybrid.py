@@ -229,6 +229,33 @@ class HybridBonsaiRenderer:
         )
         return img, ovf
 
+    def functional(self):
+        """(render, pack) pair for OUTER-JIT callers (fori frame loops):
+        ``render(pack, camera_uniform, width, height, hint=None, ...)``
+        -> (img, ovf) with the volume packs/layouts travelling as jit
+        ARGUMENTS. Calling ``_call_traced`` under an outer trace instead
+        closes over ~100 MB of layouts as HLO constants, which this
+        environment's HTTP remote-compile hop rejects outright (413).
+        The degenerate-pose fallback cannot run under a trace — pin a
+        concrete ``hint`` from pose_hint at a representative pose."""
+        pack = (self.packs, self.layouts)
+
+        def render(pk, camera_uniform, width, height, hint=None,
+                   max_steps=MAX_STEPS_BONSAI, srgb=True, budget=None):
+            packs, layouts = pk
+            wwin, wwu = (0, 128) if hint is None else (hint[0], hint[1])
+            win = min(auto_win_rows(self.dims, width, height, 1),
+                      self.win_cap)
+            return _render_hybrid(
+                packs, layouts, camera_uniform, jnp.float32(self.thresh),
+                width, height, self.intermediate,
+                self.budget if budget is None else budget, srgb, self.dims,
+                win, self.band_rows, self.nb, self.bstride, max_steps,
+                wwin, wwu,
+            )
+
+        return render, pack
+
     def __call__(self, camera_uniform, width: int = 1280, height: int = 720,
                  max_steps: int = MAX_STEPS_BONSAI, srgb: bool = True,
                  budget: int | None = None):
