@@ -417,7 +417,7 @@ def test_tiles_into_merges_over_base():
     )
     ids = jnp.asarray([2, 1, 4], jnp.int32)  # 4 = padded (pad tile)
     planes, ovf = mb.render_bonsai_tiles_into(
-        pack, base, eye, dxyz, ids, dims, 64, 64, band_rows, nb, bstride
+        pack, base, u, ids, w, h, dims, 64, 64, band_rows, nb, bstride
     )
     assert int(ovf) == 0
     got_r = np.asarray(planes[0])

@@ -101,21 +101,23 @@ def main():
         ids = jnp.asarray(np.asarray(ids_np[:budget], np.int32))
 
         def builder(n):
+            # pack as a jit ARGUMENT: closing over the ~100 MB layouts
+            # bakes them into the HLO -> HTTP 413 on the remote-compile hop
             @jax.jit
-            def run(e, a, b, c, tids):
+            def run(pk, e, a, b, c, tids):
                 def body(i, acc):
                     p, o = render_bonsai_tiles_pallas(
-                        pack, e + acc * 1e-20, (a, b, c), tids, dims,
-                        444, 64, band_rows, nb, bstride, win_rows=win,
+                        pk, e + acc * 1e-20, (a, b, c), tids, dims,
+                        444, win, band_rows, nb, bstride,
                     )
                     return acc + p[0][0, 0] + o.astype(jnp.float32) * 1e-9
                 return lax.fori_loop(0, n, body, jnp.float32(0.0))
-            return lambda: run(eye, dx, dy, dz, ids)
+            return lambda: run(pack, eye, dx, dy, dz, ids)
         # overflow check once
-        p, o = jax.jit(render_bonsai_tiles_pallas, static_argnums=(4, 5, 6, 7, 8, 9),
-                       static_argnames=("win_rows",))(
-            pack, eye, (dx, dy, dz), ids, dims, 444, 64, band_rows, nb,
-            bstride, win_rows=win)
+        p, o = jax.jit(render_bonsai_tiles_pallas,
+                       static_argnums=(4, 5, 6, 7, 8, 9))(
+            pack, eye, (dx, dy, dz), ids, dims, 444, win, band_rows, nb,
+            bstride)
         ovf = int(o)
         return slope_time(builder), ovf
 

@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vokselis_tpu.core import geometry
 from vokselis_tpu.core.colors import linear_to_srgb
 from vokselis_tpu.ops.pallas.march_bonsai import (
     MAX_STEPS_BONSAI,
@@ -130,7 +129,12 @@ def _render_hybrid(
 
     scores = tile_mean(errd * srgb_slope) + 0.03 * tile_mean(edge)
     # any warp-degraded pixel outranks every score (1e3 >> error
-    # densities); among degraded tiles, more degraded pixels rank first
+    # densities); among degraded tiles, more degraded pixels rank first.
+    # (the mask is hit-gated in _warp_to_screen: a degraded pixel whose
+    # ray misses the volume box is black in both fast and exact renders,
+    # so boosting it burns budget on already-exact tiles — measured,
+    # round 3: bench/tilt-pose errors were bit-identical from budget 16
+    # to 48 because background rim tiles outranked every true silhouette)
     bad_frac = tile_mean(bad.astype(jnp.float32))
     scores = jnp.where(bad_frac > 0.0, 1e3 + bad_frac, scores)
 
@@ -147,9 +151,8 @@ def _render_hybrid(
 
     base = tuple(pack_base(rgb[..., ch]) for ch in range(3))
     base = base + (jnp.zeros_like(base[0]),)
-    eye, dxyz = geometry.rays_fragment_soa(camera_uniform, width, height)
     planes, ovf = render_bonsai_tiles_into(
-        layouts, base, eye, dxyz, ids, dims, max_steps,
+        layouts, base, camera_uniform, ids, width, height, dims, max_steps,
         win_rows, band_rows, nb, bstride,
     )
 

@@ -993,12 +993,64 @@ def _march_kernel_ids_into(ids_ref, crange_ref, occ_ref, eye_ref, vol_hbm,
                          dxr, dyr, dzr, tstr, t1r, hitr, *args, **kwargs)
 
 
+def _tile_rays_compact(camera_uniform, tile_ids, width: int, height: int):
+    """Fragment-path rays for ONLY the listed 32x32 tiles, emitted directly
+    in the packed (n_sel*8, 128) layout of :func:`_pack_tiles` (packed
+    element (s, l) of a tile is its row ``s*4 + l//32``, col ``l%32``).
+
+    Replaces full-frame raygen + 6 full-frame tile packs in the hybrid's
+    re-march path: the fixed full-frame prep measured ~2.5 ms at 1024^2
+    (round-3 oppoint, budget=16 → 4.3 ms vs 1.55 ms fast frame) while the
+    budget-sized planes here cost ~budget/1024 of that. Math matches
+    geometry.rays_fragment_soa + intersect_box_soa exactly (same ops, same
+    order) so parity with the full-frame path is bit-exact.
+
+    Entries equal to ``n_tiles`` (parked picks) and pixels outside the
+    frame (cdiv padding) get hit=0 — they compose to the miss color and
+    never gate DMA. Returns 6 planes (dx, dy, dz, t_start, t1, hit).
+    """
+    nx = cdiv(width, TILE)
+    ny = cdiv(height, TILE)
+    n_tiles = ny * nx
+    ids = tile_ids.astype(jnp.int32)
+    s = jnp.arange(8, dtype=jnp.int32)
+    lane = jnp.arange(128, dtype=jnp.int32)
+    ty = (ids // nx)[:, None, None]
+    tx = (ids % nx)[:, None, None]
+    iy = ty * TILE + s[None, :, None] * 4 + (lane // 32)[None, None, :]
+    ix = tx * TILE + (lane % 32)[None, None, :]
+    px = ix.astype(jnp.float32) + 0.5
+    py = iy.astype(jnp.float32) + 0.5
+    ndc_x = 2.0 * px / width - 1.0
+    ndc_y = 1.0 - 2.0 * py / height
+    inv = camera_uniform.inv_proj
+    nx4, ny4, nz4, nw4 = geometry.mat4_apply(inv, ndc_x, ndc_y, jnp.float32(0.0))
+    fx, fy, fz, fw = geometry.mat4_apply(inv, ndc_x, ndc_y, jnp.float32(1.0))
+    dx = fx / fw - nx4 / nw4
+    dy = fy / fw - ny4 / nw4
+    dz = fz / fw - nz4 / nw4
+    inv_len = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+    eye = camera_uniform.view_position[:3]
+    ex = jnp.broadcast_to(eye[0], dx.shape)
+    ey = jnp.broadcast_to(eye[1], dx.shape)
+    ez = jnp.broadcast_to(eye[2], dx.shape)
+    t0, t1 = geometry.intersect_box_soa(ex, ey, ez, dx, dy, dz, 0.0, 1.0)
+    hit = (t0 <= t1) & (ids[:, None, None] < n_tiles)
+    hit &= (ix < width) & (iy < height)
+    t_start = jnp.maximum(t0, 0.0)
+    n_sel = ids.shape[0]
+    return tuple(p.reshape(n_sel * 8, 128) for p in
+                 (dx, dy, dz, t_start, t1, hit.astype(jnp.float32)))
+
+
 def render_bonsai_tiles_into(
     vol_pack,
     base_planes,  # 4-tuple of ((n_tiles + 1) * 8, 128) packed linear planes
-    eye,
-    dxyz,  # SoA ray directions for the FULL frame: (dx, dy, dz), (H, W) f32
+    camera_uniform,
     tile_ids,  # (n_sel,) int32 — 32x32 tile ids to march; pad with n_tiles
+    width: int,
+    height: int,
     dims: int,
     max_steps: int = MAX_STEPS_BONSAI,
     win_rows: int = WIN_V,
@@ -1008,31 +1060,21 @@ def render_bonsai_tiles_into(
 ):
     """render_bonsai_tiles_pallas, but the exact tiles are written IN PLACE
     over donated base planes via Pallas output aliasing — no XLA scatter
-    (measured multi-ms at 1024^2: TPU scatters serialize). The base planes
+    (measured multi-ms at 1024^2: TPU scatters serialize), and the ray
+    planes are generated compactly for ONLY the selected tiles
+    (:func:`_tile_rays_compact`) — no full-frame prep. The base planes
     are the fast frame's packed linear rgba with ONE extra trailing tile
     row-block: padded ``tile_ids`` entries (== n_tiles) land there and the
     caller slices it off. Returns (merged planes r/g/b/a, overflow count).
     """
     vol_chunks, occ, cranges = vol_pack
-    dx, dy, dz = dxyz
-    height, width = dx.shape
-    ex = jnp.broadcast_to(eye[0], dx.shape)
-    ey = jnp.broadcast_to(eye[1], dx.shape)
-    ez = jnp.broadcast_to(eye[2], dx.shape)
-    t0, t1 = geometry.intersect_box_soa(ex, ey, ez, dx, dy, dz, 0.0, 1.0)
-    hit = t0 <= t1
-    t_start = jnp.maximum(t0, 0.0)
-
     ph = cdiv(height, TILE) * TILE
     pw = cdiv(width, TILE) * TILE
     n_tiles = (ph // TILE) * (pw // TILE)
 
-    def pack(x):
-        p = _pack_tiles(jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw)
-        return jnp.pad(p, ((0, 8), (0, 0)))  # all-miss tile for padded ids
-
     n_sel = tile_ids.shape[0]
-    ins = [pack(x) for x in (dx, dy, dz, t_start, t1, hit.astype(jnp.float32))]
+    ins = _tile_rays_compact(camera_uniform, tile_ids, width, height)
+    eye = camera_uniform.view_position[:3]
     eye_vec = jnp.stack([eye[0], eye[1], eye[2]]).astype(jnp.float32)
     for bp in base_planes:
         assert bp.shape == ((n_tiles + 1) * 8, 128), bp.shape
@@ -1050,7 +1092,7 @@ def render_bonsai_tiles_into(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + [in_block] * 10,
+        ] + [sel_block] * 6 + [in_block] * 4,
         out_specs=[in_block] * 4 + [sel_block],
         scratch_shapes=[
             pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),

@@ -473,7 +473,14 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
     alpha = jnp.ones((height, width, 1), jnp.float32)
     img = jnp.concatenate([rgb, alpha], axis=-1)
     if return_aux:
-        bad = (hit & jnp.logical_not(ok)) | (wovf > 0.5)
+        # hit-gated BOTH ways: a miss ray is black in the fast frame AND
+        # in the exact march, so neither its out-of-extent park nor its
+        # (trivially overflowing, 1e6-parked) warp window makes the pixel
+        # wrong. Unhit overflow flags previously outranked every true
+        # silhouette tile in the hybrid's ranking (score 1e3+) and soaked
+        # the whole re-march budget on already-exact background tiles
+        # (round-3 oppoint: errors bit-identical from budget 16 to 48).
+        bad = hit & (jnp.logical_not(ok) | (wovf > 0.5))
         errd = jnp.where(ok, planes[3], 0.0)
         return img, bad, errd
     return img
