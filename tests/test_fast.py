@@ -285,7 +285,8 @@ def test_render_fast_aux_consistency():
     img, bad, errd = np.asarray(img), np.asarray(bad), np.asarray(errd)
     assert np.array_equal(img, plain)
     assert errd.shape == (96, 96) and (errd >= 0).all()
-    assert img[..., :3][bad].max(initial=0.0) == 0.0  # excluded -> black
+    assert bad.dtype == np.int8  # bitmask: 1 = out-of-extent, 2 = overflow
+    assert img[..., :3][(bad & 1) == 1].max(initial=0.0) == 0.0  # -> black
 
 
 def test_hybrid_pose_escalation_ladder(monkeypatch):

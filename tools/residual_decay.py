@@ -97,8 +97,26 @@ def main():
         gx = np.abs(np.diff(lums, axis=1, prepend=lums[:, :1]))
         gy = np.abs(np.diff(lums, axis=0, prepend=lums[:1]))
         scores = tile_mean(errd * srgb_slope) + 0.03 * tile_mean(gx + gy)
-        bad_frac = tile_mean(bad.astype(np.float32))
-        scores = np.where(bad_frac > 0.0, 1e3 + bad_frac, scores)
+        # ops/hybrid.py replica (score-lab v5): extent + overflow channels
+        # rank continuously, weighted by dilated tile peak luminance
+        ext_frac = tile_mean((bad & 1).astype(np.float32))
+        ovf_frac = tile_mean(((bad & 2) > 0).astype(np.float32))
+        ny, nx = H // TILE, W // TILE
+        tp = lums.reshape(ny, TILE, nx, TILE).max(axis=(1, 3))
+        tpp = np.pad(tp, 1)
+        tp = np.max(np.stack([tpp[i:i + ny, j:j + nx]
+                              for i in range(3) for j in range(3)]), axis=0)
+        scores = scores + (ext_frac + 4.0 * ovf_frac) * tp.reshape(-1)
+
+        # raw per-pose dump for OFFLINE scoring iteration (numpy only, no
+        # TPU round-trips): tools/score_lab.py reads these
+        np.savez_compressed(
+            f"/tmp/r3_logs/decay_raw_{name}_{ii}.npz",
+            per_tile_err=per_tile_err, errd=errd.astype(np.float32),
+            bad=bad.astype(np.uint8), rgb=rgb.astype(np.float32),
+            fast_srgb=fast_s.astype(np.float32),
+            err_px=err_px.astype(np.float32),
+        )
 
         order_oracle = np.argsort(per_tile_err)[::-1]
         order_actual = np.argsort(scores)[::-1]

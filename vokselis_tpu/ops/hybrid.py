@@ -36,7 +36,6 @@ from vokselis_tpu.core.colors import linear_to_srgb
 from vokselis_tpu.ops.pallas.march_bonsai import (
     MAX_STEPS_BONSAI,
     TILE,
-    _pack_tiles,
     _render_bonsai_pallas,
     _unpack_tiles,
     auto_win_rows,
@@ -56,6 +55,40 @@ from vokselis_tpu.utils.grid import cdiv
 # poses spend near-zero exact work while hard poses fill the budget
 DEFAULT_THRESH = 1e-3
 DEFAULT_BUDGET = 128
+
+
+def _dilate3(t):
+    """3x3 max filter over the (ny, nx) tile grid (content proximity for
+    the extent-excluded channel). The grid is ~32x32 floats — negligible."""
+    p = jnp.pad(t, 1)
+    h, w = t.shape
+    return jnp.max(
+        jnp.stack([p[i:i + h, j:j + w] for i in range(3) for j in range(3)]),
+        axis=0,
+    )
+
+
+def _packed_edge(x):
+    """|d/dcol| + |d/drow| of a (n_tiles*8, 128) PACKED plane, within-tile
+    only. Packed element (s, l) of a tile is image row ``(s%8)*4 + l//32``,
+    col ``l%32`` (march_bonsai._pack_tiles), so the left neighbor is one
+    lane over (masked at within-tile col 0) and the row-above neighbor is
+    32 lanes over — or, for image rows 0 mod 4, one sublane up and 96
+    lanes forward. Cross-tile diffs are dropped (tiles aren't adjacent in
+    memory): the edge channel is a 0.03-weighted selection heuristic and
+    the score lab measured edge-weight insensitivity, while staying packed
+    avoids two full-frame relayouts."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    prev_col = jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+    cd = jnp.where(lane % 32 == 0, 0.0, jnp.abs(x - prev_col))
+    prev_lane32 = jnp.pad(x, ((0, 0), (32, 0)))[:, :-32]
+    prev_sub = jnp.pad(x, ((1, 0), (0, 0)))[:-1]
+    prev_sub96 = jnp.pad(prev_sub, ((0, 0), (0, 96)))[:, 96:]
+    prev_row = jnp.where(lane >= 32, prev_lane32, prev_sub96)
+    rd = jnp.where((sub % 8 == 0) & (lane < 32), 0.0,
+                   jnp.abs(x - prev_row))
+    return cd + rd
 
 
 @partial(
@@ -83,60 +116,77 @@ def _render_hybrid(
     warp_win: int = 0,
     warp_wu: int = 128,
 ):
-    # 1. fast frame in LINEAR color (srgb once, after the merge), plus the
-    # warp's cannot-reconstruct mask (out-of-extent rays + window-overflow
-    # pixels — see _warp_to_screen): those pixels are rendered black by
-    # the fast path and MUST be re-marched, independent of contrast; and
-    # the warped curvature field errd — the per-pixel reconstruction-error
-    # density of the bilinear warp (see _warp_to_screen).
-    img, bad, errd = _render_fast(packs, camera_uniform, width, height,
-                                  intermediate, False, warp_win=warp_win,
-                                  warp_wu=warp_wu, return_aux=True)
-    rgb = img[..., :3]
-    if budget == 0:  # pure fast frame: no tile scoring, no zero-grid call
-        out = linear_to_srgb(rgb) if srgb else rgb
+    # 1. fast frame in LINEAR color (srgb once, after the merge), in the
+    # PACKED (n_tiles*8, 128) tile layout the warp kernel and the
+    # re-march kernel both work in — scoring, selection, and the merge
+    # never touch the unpacked frame, so the only full-frame relayout in
+    # the hybrid is the single unpack at the end (round-2 pipeline paid 8
+    # extra packs/unpacks; intercept decomposition, round 3).
+    # Contract (see _warp_to_screen): packed ok-masked linear rgb planes,
+    # the packed ok mask, the packed warped-curvature error density, the
+    # packed window-overflow flag, and the (H, W) extent-excluded mask
+    # (hit rays the warp rendered black).
+    rgbp, okp, errdp, ovfp, ext_bad = _render_fast(
+        packs, camera_uniform, width, height, intermediate, False,
+        warp_win=warp_win, warp_wu=warp_wu, return_aux="packed")
+    # tile grid over the PADDED frame so n_tiles (and the parked-id
+    # sentinel) matches render_bonsai_tiles_into's cdiv-based count at
+    # non-multiple-of-32 sizes (e.g. the 1280x720 default); padded pixels
+    # are non-ok -> zero rgb/errd, diluting partial tiles proportionally
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+    ny, nx = ph // TILE, pw // TILE
+    n_tiles = ny * nx
+
+    def finish(planes3):
+        merged = [_unpack_tiles(p, ph, pw)[:height, :width] for p in planes3]
+        out = jnp.stack(merged, axis=-1)
+        if srgb:
+            out = linear_to_srgb(out)
         alpha = jnp.ones((height, width, 1), jnp.float32)
-        return (jnp.concatenate([out, alpha], axis=-1),
-                jnp.int32(0))
+        return jnp.concatenate([out, alpha], axis=-1)
+
+    if budget == 0:  # pure fast frame: no tile scoring, no zero-grid call
+        return finish(rgbp), jnp.int32(0)
 
     # 2. per-tile score = warped reconstruction-error density (the
     # intermediate's curvature sampled at each pixel's own tap — a direct
     # bound on the bilinear warp's error, not a screen-space heuristic),
     # converted to the sRGB scale the error budget is measured in via the
     # transfer's local slope (gamma amplifies dark-region differences up
-    # to 12.92x), plus a small screen-contrast term for the side-entry
-    # sample-phase error the curvature field cannot see.
-    lum = jnp.maximum(rgb.mean(axis=-1), 1e-6)
+    # to 12.92x), plus a small within-tile contrast term for the
+    # side-entry sample-phase error the curvature field cannot see.
+    rp, gp, bp = rgbp
+    lum = jnp.maximum((rp + gp + bp) * (1.0 / 3.0), 1e-6)
     srgb_slope = jnp.where(
         lum > 0.0031308, (1.055 / 2.4) * lum ** (1.0 / 2.4 - 1.0), 12.92
     )
-    lums = linear_to_srgb(jnp.maximum(rgb, 0.0)).mean(axis=-1)
-    gx = jnp.abs(jnp.diff(lums, axis=1, prepend=lums[:, :1]))
-    gy = jnp.abs(jnp.diff(lums, axis=0, prepend=lums[:1]))
-    edge = gx + gy
-    # tile grid over the PADDED frame so n_tiles (and the parked-id
-    # sentinel) matches render_bonsai_tiles_into's cdiv-based count at
-    # non-multiple-of-32 sizes (e.g. the 1280x720 default); padded pixels
-    # score zero, diluting partial edge tiles proportionally
-    ph = cdiv(height, TILE) * TILE
-    pw = cdiv(width, TILE) * TILE
-    ny, nx = ph // TILE, pw // TILE
-    n_tiles = ny * nx
+    lums = (linear_to_srgb(jnp.maximum(rp, 0.0))
+            + linear_to_srgb(jnp.maximum(gp, 0.0))
+            + linear_to_srgb(jnp.maximum(bp, 0.0))) * (1.0 / 3.0)
+    edge = _packed_edge(lums)
 
-    def tile_mean(x):
-        x = jnp.pad(x, ((0, ph - height), (0, pw - width)))
-        return x.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3)).reshape(-1)
+    def ptile_mean(x):
+        return x.reshape(n_tiles, TILE * TILE).mean(axis=1)
 
-    scores = tile_mean(errd * srgb_slope) + 0.03 * tile_mean(edge)
-    # any warp-degraded pixel outranks every score (1e3 >> error
-    # densities); among degraded tiles, more degraded pixels rank first.
-    # (the mask is hit-gated in _warp_to_screen: a degraded pixel whose
-    # ray misses the volume box is black in both fast and exact renders,
-    # so boosting it burns budget on already-exact tiles — measured,
-    # round 3: bench/tilt-pose errors were bit-identical from budget 16
-    # to 48 because background rim tiles outranked every true silhouette)
-    bad_frac = tile_mean(bad.astype(jnp.float32))
-    scores = jnp.where(bad_frac > 0.0, 1e3 + bad_frac, scores)
+    scores = ptile_mean(errdp * srgb_slope) + 0.03 * ptile_mean(edge)
+    # Degraded-pixel channels: extent exclusions (black-rendered hit
+    # rays; mostly empty-space rays that are black in the exact march
+    # too) and window overflows (edge-clamped taps). Both rank
+    # CONTINUOUSLY, weighted by the neighborhood's peak luminance (a
+    # degraded pixel only differs from the exact march near actual
+    # content) — a hard 1e3 boost lets content-free degraded tiles soak
+    # the whole budget (offline score lab, round 3: worst-pose budget for
+    # 8e-4 fell 138 -> 66 vs the oracle ranking's 59; hard-boosting
+    # overflow tiles alone still measured 105-115).
+    ext_frac = jnp.pad(ext_bad.astype(jnp.float32),
+                       ((0, ph - height), (0, pw - width)))
+    ext_frac = ext_frac.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3))
+    ovf_frac = ptile_mean(okp * ovfp).reshape(ny, nx)
+    tile_peak = lums.reshape(n_tiles, TILE * TILE).max(axis=1).reshape(ny, nx)
+    # content proximity: a tile's own peak or any 8-neighbor's peak
+    tile_peak = _dilate3(tile_peak)
+    scores = scores + ((ext_frac + 4.0 * ovf_frac) * tile_peak).reshape(-1)
 
     budget = min(budget, n_tiles)  # small frames: top_k k must fit
     vals, ids = jax.lax.top_k(scores, budget)
@@ -144,25 +194,15 @@ def _render_hybrid(
 
     # 3. exact re-march of the selected tiles, written IN PLACE over the
     # packed fast planes via Pallas output aliasing (an XLA scatter here
-    # measured multi-ms — TPU scatters serialize)
-    def pack_base(x):
-        p = _pack_tiles(jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw)
-        return jnp.pad(p, ((0, 8), (0, 0)))  # pad tile: parked ids land here
-
-    base = tuple(pack_base(rgb[..., ch]) for ch in range(3))
+    # measured multi-ms — TPU scatters serialize). The pad tile row
+    # receives parked ids' writes and is sliced off before the unpack.
+    base = tuple(jnp.pad(p, ((0, 8), (0, 0))) for p in rgbp)
     base = base + (jnp.zeros_like(base[0]),)
     planes, ovf = render_bonsai_tiles_into(
         layouts, base, camera_uniform, ids, width, height, dims, max_steps,
         win_rows, band_rows, nb, bstride,
     )
-
-    merged = [_unpack_tiles(p[:-8], ph, pw)[:height, :width]
-              for p in planes[:3]]
-    out = jnp.stack(merged, axis=-1)
-    if srgb:
-        out = linear_to_srgb(out)
-    alpha = jnp.ones((height, width, 1), jnp.float32)
-    return jnp.concatenate([out, alpha], axis=-1), ovf
+    return finish([p[:-8] for p in planes[:3]]), ovf
 
 
 class HybridBonsaiRenderer:

@@ -319,47 +319,37 @@ _MXU_VMEM_CAP = 8 * 1024 * 1024
 _MXU = os.environ.get("VOK_WARP_MXU", "1") == "1"
 
 
-@partial(jax.jit, static_argnames=("win_rows", "win_u", "with_overflow"))
-def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
-                         with_overflow=False):
-    """(C<=4, I, I) channels sampled at (H, W) coords -> (C, H, W).
-    ``hit`` (H, W) bool optionally restricts the per-tile sampling window
-    to participating pixels (see module docstring).
+@partial(jax.jit, static_argnames=("height", "width", "win_rows", "win_u",
+                                   "with_overflow"))
+def warp_bilinear_packed(chans, av_p, bu_p, hit_p, height, width,
+                         win_rows=None, win_u=128, with_overflow=False):
+    """Packed-layout warp core: coords/mask arrive AND results leave in the
+    (n_tiles*8, 128) tile packing of march_bonsai._pack_tiles — the layout
+    the kernel works in anyway. The hybrid renderer stays in this layout
+    end-to-end (score, re-march, merge) and unpacks once at the very end:
+    each avoided full-frame relayout measured ~0.07-0.1 ms at 1024^2
+    (round-3 intercept decomposition, tools/fit_budget_slope.py).
 
-    ``win_rows``/``win_u`` override the static window size (pose-dependent
-    footprints: see ops.shear_warp.pose_hint; the banded scan fallback
-    caps win_u at 128 lanes — wider u footprints flag instead). With
-    ``with_overflow=True`` returns (planes, ovf) where ovf (H, W) f32 is
-    1.0 at hit pixels whose taps exceeded the window and were edge-clamped
-    (both paths)."""
+    Returns a list of ``n_ch`` packed planes, plus a packed overflow plane
+    appended when ``with_overflow`` (1.0 at participating pixels whose
+    taps exceeded the (win_rows, win_u) window and were edge-clamped)."""
     n_ch, ii, iw = chans.shape
     # pltpu.roll with a traced shift SILENTLY corrupts on non-power-of-two
     # lane widths (probed: 384 wrong, 256/512 exact) — pad columns up
     iw_pad = 1 << (iw - 1).bit_length()
     if iw_pad != iw:
         chans = jnp.pad(chans, ((0, 0), (0, 0), (0, iw_pad - iw)))
-    height, width = av.shape
     if not win_rows:
         win_rows = _win_rows(ii, height, width)
     win_rows = min(win_rows, max((ii // 8) * 8, 8), ii)
     win_u = min(win_u, iw_pad)
 
-    ph = cdiv(height, TILE) * TILE
-    pw = cdiv(width, TILE) * TILE
-
-    def pack(x):
-        return _pack_tiles(
-            jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
-        )
-
-    hitf = (jnp.ones(av.shape, jnp.float32) if hit is None
-            else hit.astype(jnp.float32))
-    n_tiles = (ph // TILE) * (pw // TILE)
+    n_tiles = av_p.shape[0] // 8
     block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     n_out = n_ch + (1 if with_overflow else 0)
     if _MXU and n_ch * ii * iw_pad * 2 <= _MXU_VMEM_CAP:
-        outs = pl.pallas_call(
+        return pl.pallas_call(
             partial(_warp_kernel_mxu, ii=ii, iw=iw, iw_pad=iw_pad,
                     win_rows=win_rows, win_u=win_u, n_ch=n_ch,
                     want_ovf=with_overflow),
@@ -375,14 +365,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
             scratch_shapes=[
                 pltpu.VMEM((n_ch * win_rows, max(win_u, 128)), jnp.bfloat16),
             ],
-        )(chans.astype(jnp.bfloat16), pack(av), pack(bu), pack(hitf))
-        planes = [
-            _unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]
-        ]
-        if with_overflow:
-            ovf = _unpack_tiles(outs[n_ch], ph, pw)[:height, :width]
-            return jnp.stack(planes), ovf
-        return jnp.stack(planes)
+        )(chans.astype(jnp.bfloat16), av_p, bu_p, hit_p)
 
     band_rows = min(ii, win_rows + BAND_STRIDE)
     nb = 1 if ii <= band_rows else cdiv(ii - band_rows, BAND_STRIDE) + 1
@@ -397,7 +380,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
          for b in range(nb)]
     )  # (nb, C, band_rows, I)
 
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         partial(_warp_kernel, ii=ii, iw=iw, iw_pad=iw_pad,
                 win_rows=win_rows, band_rows=band_rows, nb=nb, n_ch=n_ch,
                 want_ovf=with_overflow),
@@ -411,7 +394,36 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
             pltpu.VMEM((n_ch * win_rows + 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(bands, pack(av), pack(bu), pack(hitf))
+    )(bands, av_p, bu_p, hit_p)
+
+
+def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
+                         with_overflow=False):
+    """(C<=4, I, I) channels sampled at (H, W) coords -> (C, H, W).
+    ``hit`` (H, W) bool optionally restricts the per-tile sampling window
+    to participating pixels (see module docstring).
+
+    ``win_rows``/``win_u`` override the static window size (pose-dependent
+    footprints: see ops.shear_warp.pose_hint; the banded scan fallback
+    caps win_u at 128 lanes — wider u footprints flag instead). With
+    ``with_overflow=True`` returns (planes, ovf) where ovf (H, W) f32 is
+    1.0 at hit pixels whose taps exceeded the window and were edge-clamped
+    (both paths). Unpacked-layout wrapper around warp_bilinear_packed."""
+    n_ch = chans.shape[0]
+    height, width = av.shape
+    ph = cdiv(height, TILE) * TILE
+    pw = cdiv(width, TILE) * TILE
+
+    def pack(x):
+        return _pack_tiles(
+            jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
+        )
+
+    hitf = (jnp.ones(av.shape, jnp.float32) if hit is None
+            else hit.astype(jnp.float32))
+    outs = warp_bilinear_packed(chans, pack(av), pack(bu), pack(hitf),
+                                height, width, win_rows, win_u,
+                                with_overflow)
     planes = [_unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]]
     if with_overflow:
         ovf = _unpack_tiles(outs[n_ch], ph, pw)[:height, :width]

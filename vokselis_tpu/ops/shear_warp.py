@@ -459,6 +459,46 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
 
         chans.append(curv(r) + curv(g) + curv(b))
 
+    if return_aux == "packed":
+        # PACKED aux contract for the hybrid renderer: everything the
+        # hybrid consumes stays in the (n_tiles*8, 128) tile packing the
+        # warp kernel works in, so the hybrid can score, re-march and
+        # merge without any full-frame relayout (each pack/unpack of a
+        # 1024^2 plane measured ~0.07-0.1 ms; the round-2 hybrid paid 8).
+        from vokselis_tpu.ops.pallas.march_bonsai import _pack_tiles
+        from vokselis_tpu.utils.grid import cdiv as _cdiv
+
+        ph = _cdiv(height, 32) * 32
+        pw = _cdiv(width, 32) * 32
+
+        def pack(x):
+            return _pack_tiles(
+                jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
+            )
+
+        okp = pack(ok.astype(jnp.float32))
+        if jax.default_backend() == "tpu":
+            from vokselis_tpu.ops.pallas.warp2d import warp_bilinear_packed
+
+            outs = warp_bilinear_packed(
+                jnp.stack(chans, 0), pack(av), pack(bu), okp, height,
+                width, warp_win or None, warp_wu, with_overflow=True,
+            )
+        else:
+            # CPU fallback mirrors _warp_bilinear's: exact sampling, no
+            # window, zero overflow (the kernel path needs a TPU)
+            from jax.scipy.ndimage import map_coordinates
+
+            outs = [pack(map_coordinates(c, [av, bu], order=1,
+                                         mode="constant", cval=0.0))
+                    for c in chans]
+            outs.append(jnp.zeros_like(outs[0]))
+        rgbp = tuple(jnp.where(okp > 0.0, o, 0.0) for o in outs[:3])
+        errdp = jnp.where(okp > 0.0, outs[3], 0.0)
+        ovfp = outs[4]
+        ext_bad = hit & jnp.logical_not(ok)  # (H, W): black-rendered rays
+        return rgbp, okp, errdp, ovfp, ext_bad
+
     out = _warp_bilinear(jnp.stack(chans, 0), av, bu, ok,
                          win_rows=warp_win, win_u=warp_wu,
                          with_overflow=return_aux)
@@ -473,14 +513,20 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
     alpha = jnp.ones((height, width, 1), jnp.float32)
     img = jnp.concatenate([rgb, alpha], axis=-1)
     if return_aux:
-        # hit-gated BOTH ways: a miss ray is black in the fast frame AND
-        # in the exact march, so neither its out-of-extent park nor its
-        # (trivially overflowing, 1e6-parked) warp window makes the pixel
-        # wrong. Unhit overflow flags previously outranked every true
-        # silhouette tile in the hybrid's ranking (score 1e3+) and soaked
-        # the whole re-march budget on already-exact background tiles
-        # (round-3 oppoint: errors bit-identical from budget 16 to 48).
-        bad = hit & (jnp.logical_not(ok) | (wovf > 0.5))
+        # int8 bitmask, hit-gated BOTH ways: a miss ray is black in the
+        # fast frame AND in the exact march, so neither its out-of-extent
+        # park nor its (trivially overflowing, 1e6-parked) warp window
+        # makes the pixel wrong. Unhit overflow flags previously outranked
+        # every true silhouette tile in the hybrid's ranking (score 1e3+)
+        # and soaked the whole re-march budget on already-exact background
+        # tiles (round-3 oppoint: errors bit-identical, budgets 16-48).
+        #   bit 1: hit ray outside the warp extent -> rendered BLACK (may
+        #          or may not be wrong: most such rays traverse empty
+        #          voxels and are black in the exact march too)
+        #   bit 2: reconstructable (ok) pixel whose warp window overflowed
+        #          -> edge-clamped taps, value untrustworthy
+        bad = (hit & jnp.logical_not(ok)).astype(jnp.int8)
+        bad = bad | (ok & (wovf > 0.5)).astype(jnp.int8) * 2
         errd = jnp.where(ok, planes[3], 0.0)
         return img, bad, errd
     return img
