@@ -36,16 +36,19 @@ from jax import lax
 
 
 W = H = 1024
-ERR_TARGET = 8e-4  # margin under the 1e-3 budget for sweep-wide safety
+ERR_MARGIN = 8e-4  # margin under the 1e-3 budget for sweep-wide safety
+ERR_TARGET = 1e-3  # the north-star error budget itself
 MRAYS_TARGET = 500.0
 
 
 def main():
     ii = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     # each budget is a fresh jit variant (~4 min remote compile for the
-    # hybrid frame + two fori timing variants): keep the default list tight
+    # hybrid frame + two fori timing variants): keep the default list
+    # tight. budget=0 times the pure-fast frame through the hybrid path
+    # (the cost model's intercept: fast frame + final unpack, no scoring).
     budgets = ([int(b) for b in sys.argv[2].split(",")]
-               if len(sys.argv) > 2 else [16, 32, 48, 64, 128])
+               if len(sys.argv) > 2 else [0, 16, 32, 48, 64, 96, 128])
 
     from bench import slope_time
     from vokselis_tpu.core.camera import Camera, CameraUniform
@@ -123,17 +126,49 @@ def main():
         ckpt.flush()
         print(rec, flush=True)
 
-    ok = [r for r in results
-          if max(r["errs"].values()) <= ERR_TARGET
-          and r["mrays"] >= MRAYS_TARGET]
-    # smallest budget is fastest; prefer the LARGEST budget that still
-    # clears 500 Mrays/s (error margin buys sweep-wide robustness)
-    chosen = max(ok, key=lambda r: r["budget"]) if ok else None
+    # cost-model fit ms = a + b*budget over the measured ladder (the
+    # decomposition CLAUDE.md tracks: intercept = fast frame + scoring/
+    # merge tax, slope = per-tile re-march cost)
+    # budget=0 bypasses scoring entirely — keep it out of the linear fit
+    # (it measures the pure-fast floor, not the hybrid's intercept)
+    fitr = [r for r in results if r["budget"] > 0]
+    bs = np.array([r["budget"] for r in fitr], np.float64)
+    ms = np.array([r["ms"] for r in fitr], np.float64)
+    slope, intercept = (np.polyfit(bs, ms, 1).tolist()
+                        if len(fitr) >= 2 else (0.0, float(ms[0])))
+    b0 = next((r["ms"] for r in results if r["budget"] == 0), None)
+
+    conj = [r for r in results
+            if max(r["errs"].values()) <= ERR_MARGIN
+            and r["mrays"] >= MRAYS_TARGET]
+    # prefer the LARGEST budget that still clears 500 Mrays/s (error
+    # margin buys sweep-wide robustness); if the conjunction is empty on
+    # this hardware, fall back to the FASTEST point that still meets the
+    # 1e-3 error budget on every probe pose — bench.py headlines it with
+    # the honest measured Mrays/s (v5e; the north star assumes v5p).
+    if conj:
+        chosen, is_conj = max(conj, key=lambda r: r["budget"]), True
+    else:
+        ok = [r for r in results
+              if r["budget"] > 0 and max(r["errs"].values()) <= ERR_TARGET]
+        chosen = max(ok, key=lambda r: r["mrays"]) if ok else None
+        is_conj = False
+    if chosen is not None:
+        chosen = dict(chosen, conjunction=is_conj)
     out = {"operating_point": chosen,
-           "note": ("conjunction satisfied" if chosen else
-                    "NO budget satisfies the conjunction at this ii")}
+           "fit": {"intercept_ms": round(intercept, 3),
+                   "slope_ms_per_tile": round(slope, 5),
+                   "pure_fast_ms": b0},
+           "note": ("conjunction satisfied" if is_conj else
+                    "no 500-Mrays/s conjunction on this chip; operating "
+                    "point = fastest error-clearing budget" if chosen else
+                    "NO budget meets the error target at this ii")}
     with open(f"/tmp/r3_logs/oppoint_{ii}.json", "w") as f:
         json.dump(out, f)
+    # bench.py reads the committed operating point for its hybrid defaults
+    repo_op = os.path.join(os.path.dirname(__file__), "..", "OPPOINT.json")
+    with open(repo_op, "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 
 
