@@ -68,6 +68,15 @@ def main():
     hint = pose_hint(u0, W, H, ii, hyb.dims)
     frender, fpack = hyb.functional()
 
+    from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
+
+    erender, epack = build_renderer(vol, with_overflow=True)
+    exact, _eovf = erender(epack, u0, W, H)
+
+    @jax.jit
+    def mean_err(h, e):
+        return jnp.abs(h[..., :3] - e[..., :3]).mean()
+
     def build_hyb(b, thresh=None):
         def mk(n):
             def frames(pk, vp, pv, ip):
@@ -85,6 +94,36 @@ def main():
     sec = slope_time(build_hyb(0))
     out["hybrid_b0_ms"] = round(sec * 1000, 3)
     print(f"2. hybrid budget=0: {sec*1000:.3f} ms", flush=True)
+
+    # 2b. window-size tax: budget=0 with the DEFAULT warp window instead
+    # of the pose_hint bucket (the bench pose demands (128, 256) vs the
+    # default (40, 128) — >10x the per-tile warp matmul FLOPs; overflowing
+    # tiles would instead ride the re-march budget)
+    for wwin, wwu in ((0, 128), (64, 128), (64, 256)):
+        if (wwin, wwu) == (hint[0], hint[1]):
+            continue
+        small_hint = (wwin, wwu, False)
+
+        def build_small(n):
+            def frames(pk, vp, pv, ip):
+                def body(i, acc):
+                    u = CameraUniform(vp + acc * 1e-20, pv, ip)
+                    im, _ = frender(pk, u, W, H, hint=small_hint, budget=0)
+                    return acc + im[0, 0, 0] + im[H // 2, W // 2, 0]
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            jf = jax.jit(frames)
+            return lambda: jf(fpack, u0.view_position, u0.proj_view,
+                              u0.inv_proj)
+
+        sec = slope_time(build_small)
+        out[f"hybrid_b0_w{wwin}x{wwu}_ms"] = round(sec * 1000, 3)
+        # error at the operating budget with this window: do overflow
+        # tiles get ranked and re-marched back under the error target?
+        h, _ = frender(fpack, u0, W, H, hint=small_hint, budget=budget)
+        e = float(mean_err(h, exact))
+        out[f"hybrid_b{budget}_w{wwin}x{wwu}_err"] = round(e, 9)
+        print(f"2b. hybrid win=({wwin},{wwu}): b0 {sec*1000:.3f} ms, "
+              f"err@b{budget} {e:.3e}", flush=True)
 
     # 3. scoring runs, every pick parked (miss-floor re-march)
     old = hyb.thresh
