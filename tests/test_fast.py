@@ -228,11 +228,28 @@ def test_warp_overflow_flag():
         av = jnp.asarray(2.0 * yy + 1.0)
         bu = jnp.asarray(xx + 1.0)
         _, ovf_small = w2.warp_bilinear_pallas(
-            chans, av, bu, None, win_rows=16, with_overflow=True)
+            chans, av, bu, None, win_rows=16, with_overflow=True,
+            adaptive=False)
         _, ovf_big = w2.warp_bilinear_pallas(
-            chans, av, bu, None, win_rows=96, with_overflow=True)
+            chans, av, bu, None, win_rows=96, with_overflow=True,
+            adaptive=False)
         assert np.asarray(ovf_small).sum() > 0
         assert np.asarray(ovf_big).sum() == 0
+        # adaptive two-pass: the same overflowing footprint is re-warped
+        # at the big window — flags clear and values match the exact lerp
+        rng = np.random.default_rng(3)
+        chans_r = jnp.asarray(rng.random((3, ii, ii), dtype=np.float32))
+        planes, ovf_ad = w2.warp_bilinear_pallas(
+            chans_r, av, bu, None, win_rows=16, with_overflow=True)
+        assert np.asarray(ovf_ad).sum() == 0
+        from jax.scipy.ndimage import map_coordinates
+
+        want = np.stack([
+            np.asarray(map_coordinates(c, [av, bu], order=1,
+                                       mode="nearest"))
+            for c in chans_r
+        ])
+        assert np.abs(np.asarray(planes) - want).max() < 5e-3
     finally:
         pl.pallas_call = orig
         importlib.reload(w2)
@@ -321,6 +338,12 @@ def test_hybrid_pose_escalation_ladder(monkeypatch):
     monkeypatch.setattr(hy, "_render_hybrid", fake_render_hybrid)
     monkeypatch.setattr(hy, "_render_bonsai_pallas", fake_exact)
     monkeypatch.setattr(hy, "pose_hint", fake_hint)
+    # pin the adaptive-MXU window collapse OFF: this test checks the
+    # pose-hint window PLUMBING through the ladder (the collapse is
+    # asserted separately below)
+    import vokselis_tpu.ops.pallas.warp2d as w2
+
+    monkeypatch.setattr(w2, "mxu_adaptive_eligible", lambda n, i: False)
 
     hints = {512: (64, 128, False), 768: (96, 128, False)}
     r._call_traced(None, 64, 64)
@@ -338,3 +361,11 @@ def test_hybrid_pose_escalation_ladder(monkeypatch):
     hints = {}
     r._call_traced(None, 64, 64, hint=(96, 128, False))
     assert calls["mode"] == ("hybrid", 512, 96, 128)
+
+    # with the adaptive MXU warp eligible, every pose-hint window bucket
+    # collapses to the single default variant (windowing moves into the
+    # kernel's two-pass logic)
+    monkeypatch.setattr(w2, "mxu_adaptive_eligible", lambda n, i: True)
+    hints = {512: (128, 256, False)}
+    r._call_traced(None, 64, 64)
+    assert calls["mode"] == ("hybrid", 512, 0, 128)

@@ -95,11 +95,13 @@ def main():
     out["hybrid_b0_ms"] = round(sec * 1000, 3)
     print(f"2. hybrid budget=0: {sec*1000:.3f} ms", flush=True)
 
-    # 2b. window-size tax: budget=0 with the DEFAULT warp window instead
-    # of the pose_hint bucket (the bench pose demands (128, 256) vs the
-    # default (40, 128) — >10x the per-tile warp matmul FLOPs; overflowing
-    # tiles would instead ride the re-march budget)
-    for wwin, wwu in ((0, 128), (64, 128), (64, 256)):
+    # 2b. window-size tax: budget=0 with explicit warp windows (only
+    # meaningful with VOK_WARP_ADAPTIVE=0 — the adaptive MXU path ignores
+    # the hint, so every variant would recompile the same computation)
+    variants = (((0, 128), (64, 128), (64, 256))
+                if os.environ.get("VOK_PROFILE_WINVARIANTS", "0") == "1"
+                else ())
+    for wwin, wwu in variants:
         if (wwin, wwu) == (hint[0], hint[1]):
             continue
         small_hint = (wwin, wwu, False)

@@ -167,7 +167,11 @@ def _render_hybrid(
     edge = _packed_edge(lums)
 
     def ptile_mean(x):
-        return x.reshape(n_tiles, TILE * TILE).mean(axis=1)
+        # (n_tiles*8, 128) -> (n_tiles, 8, 128) is a free leading-dim
+        # split; reducing both trailing axes needs no relayout (reshaping
+        # to (n_tiles, 1024) instead forces the 8 sublanes into lanes — a
+        # full-frame relayout per scoring plane)
+        return x.reshape(n_tiles, 8, 128).mean(axis=(1, 2))
 
     scores = ptile_mean(errdp * srgb_slope) + 0.03 * ptile_mean(edge)
     # Degraded-pixel channels: extent exclusions (black-rendered hit
@@ -183,7 +187,8 @@ def _render_hybrid(
                        ((0, ph - height), (0, pw - width)))
     ext_frac = ext_frac.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3))
     ovf_frac = ptile_mean(okp * ovfp).reshape(ny, nx)
-    tile_peak = lums.reshape(n_tiles, TILE * TILE).max(axis=1).reshape(ny, nx)
+    tile_peak = (lums.reshape(n_tiles, 8, 128).max(axis=(1, 2))
+                 .reshape(ny, nx))
     # content proximity: a tile's own peak or any 8-neighbor's peak
     tile_peak = _dilate3(tile_peak)
     scores = scores + ((ext_frac + 4.0 * ovf_frac) * tile_peak).reshape(-1)
@@ -252,6 +257,13 @@ class HybridBonsaiRenderer:
                 if not d2:
                     wwin, wwu, degen, ii = w2, u2, False, ii_up
                     break
+        from vokselis_tpu.ops.pallas.warp2d import mxu_adaptive_eligible
+
+        if not degen and mxu_adaptive_eligible(4, ii):
+            # the adaptive MXU warp sizes windows itself (two-pass;
+            # warp2d._rewarp_overflow_tiles): collapse the pose-hint
+            # window buckets to the ONE default jit variant
+            wwin, wwu = 0, 128
         if degen:
             tps = pick_tiles_per_step(self.dims, width, height,
                                       cap=self.win_cap)

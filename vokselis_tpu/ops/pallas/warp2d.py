@@ -318,11 +318,96 @@ def _warp_kernel_mxu(
 _MXU_VMEM_CAP = 8 * 1024 * 1024
 _MXU = os.environ.get("VOK_WARP_MXU", "1") == "1"
 
+# adaptive re-warp: max tiles re-warped at the big window per frame. The
+# footprint distribution is heavy-tailed (bench pose: 128 of 592 hit
+# tiles exceed the 40-row default, 0 exceed (128, 256)); tiles beyond the
+# cap keep their pass-1 edge-extended pixels WITH overflow flags set, so
+# the hybrid's exact re-march still covers them — the cap bounds cost,
+# not correctness.
+_REWARP_CAP = int(os.environ.get("VOK_REWARP_CAP", "192"))
+_ADAPTIVE = os.environ.get("VOK_WARP_ADAPTIVE", "1") == "1"
+_REWARP_ROWS = 128
+_REWARP_U = 256
+
+
+def mxu_adaptive_eligible(n_ch: int, ii: int) -> bool:
+    """True when warp_bilinear_packed's MXU path will take over window
+    sizing (two-pass adaptive) for an (n_ch, ii, ii) intermediate — the
+    caller should then pass the default (0, 128) window hint instead of
+    pose-dependent buckets (each bucket is a separate jit variant with
+    identical adaptive behavior; remote compiles here cost minutes)."""
+    iw_pad = 1 << (ii - 1).bit_length()
+    return _ADAPTIVE and _MXU and n_ch * ii * iw_pad * 2 <= _MXU_VMEM_CAP
+
+
+def _rewarp_kernel(ids_ref, chans_ref, avr, bur, hitr, *rest, n_out, **kw):
+    """Compact re-warp wrapper: drop the scalar-prefetch ids ref and the
+    n_out ALIASED input plane refs (the output refs are the same memory);
+    the body is the plain MXU warp kernel at the big window."""
+    return _warp_kernel_mxu(chans_ref, avr, bur, hitr, *rest[n_out:], **kw)
+
+
+def _rewarp_overflow_tiles(chans_b, av_p, bu_p, hit_p, planes,
+                           ii, iw, iw_pad, win_rows, win_u, n_ch):
+    """Second warp pass over the tiles whose pass-1 window overflowed:
+    rank tiles by their overflow-pixel count, re-warp the top
+    ``_REWARP_CAP`` with the (win_rows, win_u) BIG window in a compact
+    id-indexed grid, and write the results IN PLACE over the pass-1
+    planes via output aliasing (the exact re-march's machinery,
+    march_bonsai.render_bonsai_tiles_into). ``planes`` is the list of
+    n_ch pass-1 channel planes + the pass-1 overflow plane; the returned
+    planes have re-warped tiles' channels AND overflow flags replaced
+    (a tile still exceeding the big window stays flagged for the
+    hybrid's exact re-march)."""
+    n_tiles = av_p.shape[0] // 8
+    n_sel = min(_REWARP_CAP, n_tiles)
+    ovf1 = planes[n_ch]
+    counts = ovf1.reshape(n_tiles, 8, 128).sum(axis=(1, 2))
+    vals, ids = jax.lax.top_k(counts, n_sel)
+    ids = jnp.where(vals > 0.0, ids, n_tiles).astype(jnp.int32)
+
+    # one extra trailing tile block receives parked ids' writes (zeros —
+    # the pad coords/hit are zero, so the kernel's all-miss branch runs)
+    pad8 = ((0, 8), (0, 0))
+    base = [jnp.pad(p, pad8) for p in planes]
+    av_pp, bu_pp, hit_pp = (jnp.pad(x, pad8) for x in (av_p, bu_p, hit_p))
+
+    n_out = n_ch + 1
+    id_block = pl.BlockSpec(
+        (8, 128), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sel,),
+        in_specs=[
+            pl.BlockSpec((n_ch, ii, iw_pad), lambda i, ids: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [id_block] * (3 + n_out),
+        out_specs=[id_block] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((n_ch * win_rows, max(win_u, 128)), jnp.bfloat16),
+        ],
+    )
+    # operand numbering for aliasing counts the scalar-prefetch arg:
+    # 0 ids, 1 chans, 2-4 coords/hit, 5.. the n_out base planes
+    outs = pl.pallas_call(
+        partial(_rewarp_kernel, ii=ii, iw=iw, iw_pad=iw_pad,
+                win_rows=win_rows, win_u=win_u, n_ch=n_ch, want_ovf=True,
+                n_out=n_out),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(((n_tiles + 1) * 8, 128), jnp.float32)
+        ] * n_out,
+        input_output_aliases={5 + j: j for j in range(n_out)},
+    )(ids, chans_b, av_pp, bu_pp, hit_pp, *base)
+    return [o[:-8] for o in outs]
+
 
 @partial(jax.jit, static_argnames=("height", "width", "win_rows", "win_u",
-                                   "with_overflow"))
+                                   "with_overflow", "adaptive"))
 def warp_bilinear_packed(chans, av_p, bu_p, hit_p, height, width,
-                         win_rows=None, win_u=128, with_overflow=False):
+                         win_rows=None, win_u=128, with_overflow=False,
+                         adaptive=True):
     """Packed-layout warp core: coords/mask arrive AND results leave in the
     (n_tiles*8, 128) tile packing of march_bonsai._pack_tiles — the layout
     the kernel works in anyway. The hybrid renderer stays in this layout
@@ -332,7 +417,19 @@ def warp_bilinear_packed(chans, av_p, bu_p, hit_p, height, width,
 
     Returns a list of ``n_ch`` packed planes, plus a packed overflow plane
     appended when ``with_overflow`` (1.0 at participating pixels whose
-    taps exceeded the (win_rows, win_u) window and were edge-clamped)."""
+    taps exceeded the window and were edge-clamped).
+
+    With ``adaptive`` (default) the MXU path IGNORES the caller's window
+    and runs TWO passes: the whole frame at the cheap default window,
+    then a compact id-indexed re-warp of the overflowed tiles at the
+    maximum (128, 256) window (``_rewarp_overflow_tiles``). Footprints
+    are pose-dependent AND heavy-tailed (bench pose: 128 of 592 hit
+    tiles exceed the 40-row default; a global (128, 256) window costs
+    >10x the per-tile warp matmul FLOPs of the default) — the two-pass
+    form prices the tail at ~cap * microseconds instead of sizing the
+    whole frame for it. The scan fallback (large intermediates) keeps
+    the caller's pose-hint window. Pass ``adaptive=False`` to probe a
+    specific static window (tests, A/B timing)."""
     n_ch, ii, iw = chans.shape
     # pltpu.roll with a traced shift SILENTLY corrupts on non-power-of-two
     # lane widths (probed: 384 wrong, 256/512 exact) — pad columns up
@@ -349,23 +446,44 @@ def warp_bilinear_packed(chans, av_p, bu_p, hit_p, height, width,
 
     n_out = n_ch + (1 if with_overflow else 0)
     if _MXU and n_ch * ii * iw_pad * 2 <= _MXU_VMEM_CAP:
-        return pl.pallas_call(
+        win2 = min(_REWARP_ROWS, max((ii // 8) * 8, 8), ii)
+        win2_u = min(_REWARP_U, iw_pad)
+        if _ADAPTIVE and adaptive:
+            win1 = min(_win_rows(ii, height, width),
+                       max((ii // 8) * 8, 8), ii)
+            win1_u = min(128, iw_pad)
+        else:
+            win1, win1_u = win_rows, win_u
+        use2 = (_ADAPTIVE and adaptive
+                and (win2 > win1 or win2_u > win1_u))
+        if not use2:
+            win1, win1_u = win_rows, win_u
+        want1 = with_overflow or use2
+        n_out1 = n_ch + (1 if want1 else 0)
+        chans_b = chans.astype(jnp.bfloat16)
+        outs = pl.pallas_call(
             partial(_warp_kernel_mxu, ii=ii, iw=iw, iw_pad=iw_pad,
-                    win_rows=win_rows, win_u=win_u, n_ch=n_ch,
-                    want_ovf=with_overflow),
+                    win_rows=win1, win_u=win1_u, n_ch=n_ch,
+                    want_ovf=want1),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((n_ch, ii, iw_pad), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + [block] * 3,
-            out_specs=[block] * n_out,
+            out_specs=[block] * n_out1,
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
-            ] * n_out,
+            ] * n_out1,
             scratch_shapes=[
-                pltpu.VMEM((n_ch * win_rows, max(win_u, 128)), jnp.bfloat16),
+                pltpu.VMEM((n_ch * win1, max(win1_u, 128)), jnp.bfloat16),
             ],
-        )(chans.astype(jnp.bfloat16), av_p, bu_p, hit_p)
+        )(chans_b, av_p, bu_p, hit_p)
+        if use2:
+            outs = _rewarp_overflow_tiles(
+                chans_b, av_p, bu_p, hit_p, outs,
+                ii, iw, iw_pad, win2, win2_u, n_ch,
+            )
+        return outs if n_out == len(outs) else outs[:n_out]
 
     band_rows = min(ii, win_rows + BAND_STRIDE)
     nb = 1 if ii <= band_rows else cdiv(ii - band_rows, BAND_STRIDE) + 1
@@ -398,7 +516,7 @@ def warp_bilinear_packed(chans, av_p, bu_p, hit_p, height, width,
 
 
 def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
-                         with_overflow=False):
+                         with_overflow=False, adaptive=True):
     """(C<=4, I, I) channels sampled at (H, W) coords -> (C, H, W).
     ``hit`` (H, W) bool optionally restricts the per-tile sampling window
     to participating pixels (see module docstring).
@@ -423,7 +541,7 @@ def warp_bilinear_pallas(chans, av, bu, hit=None, win_rows=None, win_u=128,
             else hit.astype(jnp.float32))
     outs = warp_bilinear_packed(chans, pack(av), pack(bu), pack(hitf),
                                 height, width, win_rows, win_u,
-                                with_overflow)
+                                with_overflow, adaptive)
     planes = [_unpack_tiles(o, ph, pw)[:height, :width] for o in outs[:n_ch]]
     if with_overflow:
         ovf = _unpack_tiles(outs[n_ch], ph, pw)[:height, :width]

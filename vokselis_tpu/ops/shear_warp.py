@@ -765,9 +765,15 @@ class FastBonsaiRenderer:
 
     def __call__(self, camera_uniform, width=1280, height=720, srgb=True,
                  max_steps: int = MAX_STEPS_BONSAI, intermediate=None):
+        from vokselis_tpu.ops.pallas.warp2d import mxu_adaptive_eligible
+
         ii = intermediate or self.intermediate
         win, wu, _degen = pose_hint(camera_uniform, width, height, ii,
                                     self.dims)
+        if mxu_adaptive_eligible(3, ii):
+            # adaptive MXU warp sizes its own windows (two-pass): one jit
+            # variant instead of a pose-hint bucket per window size
+            win, wu = 0, 128
         return _render_fast(
             self.packs, camera_uniform, width, height, ii, srgb,
             warp_win=win, warp_wu=wu,
