@@ -227,33 +227,86 @@ def bench_bonsai_hybrid(width=1024, height=1024, intermediate=None,
 
 
 def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
-    """Config 4: bonsai via the tiled compute-style path, orbiting camera."""
+    """Config 4: bonsai with an orbiting camera @1080p.
+
+    Times the exact-kernel loop, then — if every orbit pose is
+    non-degenerate and the hybrid's measured per-pose error clears the
+    1e-3 budget — also times ``renderer="hybrid"`` through ONE traced
+    loop (the adaptive MXU warp sizes its own windows in-kernel, so a
+    single jit variant covers every pose; pre-adaptive, each pose-hint
+    window bucket was a separate multi-minute remote compile). Returns
+    (mrays, sec, hybrid_stats): hybrid_stats is None or
+    (mrays, sec, max_pose_err, budget)."""
+    import math
+
     import jax
     import jax.numpy as jnp
 
-    from vokselis_tpu.core.camera import CameraUniform
+    from vokselis_tpu.core.camera import Camera, CameraUniform
     from vokselis_tpu.parallel.sharding import orbit_camera_batch
     from vokselis_tpu.ops.pallas.march_bonsai import build_renderer
     from vokselis_tpu.volume.io import get_bonsai
 
-    render, pack = build_renderer(get_bonsai())
+    vol = get_bonsai()
+    render, pack = build_renderer(vol)
     cams = orbit_camera_batch(n_poses, aspect=width / height)
 
-    def build(n):
+    def build_loop(frender, fpack, n):
         def frames(pk, vp, pv, ip):
             def body(i, acc):
                 k = i % n_poses
                 u = CameraUniform(vp[k] + acc * 1e-20, pv[k], ip[k])
-                img = render(pk, u, width, height)
+                img = frender(pk, u, width, height)
                 return acc + img[0, 0, 0] + img[height // 2, width // 2, 0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         jf = jax.jit(frames)
-        return lambda: jf(pack, cams.view_position, cams.proj_view,
+        return lambda: jf(fpack, cams.view_position, cams.proj_view,
                           cams.inv_proj)
 
-    sec = slope_time(build)
-    return width * height / sec / 1e6, sec
+    sec = slope_time(lambda n: build_loop(render, pack, n))
+    mrays = width * height / sec / 1e6
+
+    hyb_stats = None
+    try:
+        from vokselis_tpu.ops.hybrid import HybridBonsaiRenderer
+        from vokselis_tpu.ops.shear_warp import pose_hint
+
+        op = _load_oppoint()
+        # ~2x the 1024^2 operating budget: degraded (silhouette) tile
+        # count scales ~linearly with frame side, and 1080p has ~2x the
+        # 32x32 tiles of 1024^2
+        budget = int(os.environ.get(
+            "VOK_ORBIT_BUDGET", 2 * int(op.get("budget", 64))))
+        ii = int(op.get("ii", 512))
+        hyb = HybridBonsaiRenderer(vol, intermediate=ii, budget=budget)
+        poses = [Camera(zoom=1.0, pitch=0.5,
+                        yaw=2.0 * math.pi * i / n_poses,
+                        target=(0.5, 0.5, 0.5), aspect=width / height)
+                 for i in range(n_poses)]
+        if any(pose_hint(c.uniform(), width, height, ii, hyb.dims)[2]
+               for c in poses):
+            _log("config 4 hybrid: degenerate orbit pose — exact only")
+            return mrays, sec, None
+        frender, fpack = hyb.functional()
+        err_max = 0.0
+        for c in poses:
+            u = c.uniform()
+            him, _ = frender(fpack, u, width, height)
+            eim = render(pack, u, width, height)
+            err_max = max(err_max, float(jnp.abs(
+                him[..., :3] - eim[..., :3]).mean()))
+        if err_max <= 1e-3:
+            hsec = slope_time(lambda n: build_loop(
+                lambda pk, u, w, h: frender(pk, u, w, h)[0], fpack, n))
+            hyb_stats = (width * height / hsec / 1e6, hsec, err_max, budget)
+        else:
+            _log(f"config 4 hybrid: max orbit-pose err {err_max:.2e} "
+                 "> 1e-3 — exact only")
+    except Exception as e:  # pragma: no cover - bench-only diagnostics
+        _log(f"config 4 hybrid probe failed ({type(e).__name__}: {e}); "
+             "exact numbers stand")
+    return mrays, sec, hyb_stats
 
 
 def bench_views_512(n_views=64, view_res=512):
@@ -393,9 +446,15 @@ def main():
             m, s = bench_field(**kw)
             results[name] = (m, s)
             _log(f"{name}: {s*1000:.1f} ms/frame = {m:.1f} Mrays/s")
-        m, s = bench_bonsai_orbit()
+        m, s, orb_hyb = bench_bonsai_orbit()
         results["bonsai_1080p_orbit"] = (m, s)
         _log(f"config 4 bonsai orbit @1080p: {s*1000:.1f} ms/frame = {m:.1f} Mrays/s")
+        if orb_hyb is not None:
+            hm4, hs4, herr4, hbud4 = orb_hyb
+            results["bonsai_1080p_orbit_hybrid"] = (hm4, hs4)
+            _log(f"config 4 orbit @1080p HYBRID (budget={hbud4}): "
+                 f"{hs4*1000:.1f} ms/frame = {hm4:.1f} Mrays/s, max "
+                 f"orbit-pose err {herr4:.2e}")
         m, s = bench_views_512()
         results["views512"] = (m, s)
         _log(f"config 5 512^3 64 views @512^2: {s*1000:.0f} ms/batch = {m:.1f} Mrays/s")

@@ -255,6 +255,49 @@ def test_warp_overflow_flag():
         importlib.reload(w2)
 
 
+def test_rewarp_cap_bounds_cost_not_correctness():
+    """Adaptive two-pass contract: tiles past the re-warp cap keep their
+    pass-1 overflow flags (the hybrid's exact re-march covers them), and
+    an uncapped pass clears every flag."""
+    import importlib
+    import jax.experimental.pallas as pl
+    import vokselis_tpu.ops.pallas.warp2d as w2
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = patched
+    try:
+        importlib.reload(w2)
+        ii, hw = 128, 256  # pass-1 default window at 256^2 is 40 rows
+        rng = np.random.default_rng(7)
+        chans = jnp.asarray(rng.random((3, ii, ii), dtype=np.float32))
+        yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32)
+        top = yy < 128  # top-half tiles: 64-row footprint (overflows 40)
+        av = jnp.asarray(np.where(top, 2.0 * (yy % 32), 0.5 * (yy % 32)) + 1.0)
+        bu = jnp.asarray((xx % 32) + 1.0)
+
+        w2._REWARP_CAP = 64  # >= n_tiles: every overflowed tile re-warped
+        w2.warp_bilinear_packed.clear_cache()
+        _, ovf_all = w2.warp_bilinear_pallas(
+            chans, av, bu, None, with_overflow=True)
+        assert np.asarray(ovf_all).sum() == 0
+
+        w2._REWARP_CAP = 4  # only the worst 4 tiles re-warped
+        w2.warp_bilinear_packed.clear_cache()
+        _, ovf_capped = w2.warp_bilinear_pallas(
+            chans, av, bu, None, with_overflow=True)
+        n_flagged = (np.asarray(ovf_capped).reshape(8, 32, 8, 32)
+                     .max(axis=(1, 3)) > 0).sum()
+        assert n_flagged == 32 - 4  # 32 overflowing tiles, 4 cleared
+    finally:
+        pl.pallas_call = orig
+        importlib.reload(w2)
+
+
 def test_pose_hint_classification():
     """pose_hint: close zooms and eye-in-slab-range poses are degenerate;
     the bench pose is not; diagonal yaws demand wider windows than
