@@ -85,5 +85,5 @@ echo "[r3] hybrid operating point: I=$II budget=$BUDGET"
 
 run_step hybrid_sweep python tools/hybrid_sweep.py "$BUDGET" "$II"
 VOK_HYBRID_BUDGET=$BUDGET VOK_HYBRID_II=$II run_step bench_all python bench.py --all
-run_step prequad_ab python tools/prequad_ab.py
+# prequad A/B: measured NEUTRAL (0.990x) in round 3 — stays opt-in, not re-run
 echo "[r3] all steps complete $(date)"

@@ -442,8 +442,14 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
     av = jnp.where(ok, av, 1e6)
     bu = jnp.where(ok, bu, 1e6)
 
+    # "packed" variants "packed-nocurv"/"packed-noovf"/"packed-nocurv-noovf"
+    # drop the curvature channel / overflow plane (zeros instead) — cost
+    # ablation knobs for tools/aux_tax_probe.py, not production modes
+    aux_packed = isinstance(return_aux, str) and return_aux.startswith("packed")
+    want_curv = return_aux is True or (aux_packed and "nocurv" not in return_aux)
+    want_ovf = return_aux is True or (aux_packed and "noovf" not in return_aux)
     chans = [r, g, b]
-    if return_aux:
+    if want_curv:
         # 4th channel: the intermediate's local curvature |lap c| summed
         # over rgb. The warp's bilinear reconstruction error is bounded by
         # (fu(1-fu)/2)|f''_u| + (fv(1-fv)/2)|f''_v| — the discrete second
@@ -459,7 +465,7 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
 
         chans.append(curv(r) + curv(g) + curv(b))
 
-    if return_aux == "packed":
+    if aux_packed:
         # PACKED aux contract for the hybrid renderer: everything the
         # hybrid consumes stays in the (n_tiles*8, 128) tile packing the
         # warp kernel works in, so the hybrid can score, re-march and
@@ -482,7 +488,7 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
 
             outs = warp_bilinear_packed(
                 jnp.stack(chans, 0), pack(av), pack(bu), okp, height,
-                width, warp_win or None, warp_wu, with_overflow=True,
+                width, warp_win or None, warp_wu, with_overflow=want_ovf,
             )
         else:
             # CPU fallback mirrors _warp_bilinear's: exact sampling, no
@@ -492,10 +498,12 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
             outs = [pack(map_coordinates(c, [av, bu], order=1,
                                          mode="constant", cval=0.0))
                     for c in chans]
-            outs.append(jnp.zeros_like(outs[0]))
+            if want_ovf:
+                outs.append(jnp.zeros_like(outs[0]))
         rgbp = tuple(jnp.where(okp > 0.0, o, 0.0) for o in outs[:3])
-        errdp = jnp.where(okp > 0.0, outs[3], 0.0)
-        ovfp = outs[4]
+        errdp = (jnp.where(okp > 0.0, outs[3], 0.0) if want_curv
+                 else jnp.zeros_like(okp))
+        ovfp = outs[3 + int(want_curv)] if want_ovf else jnp.zeros_like(okp)
         ext_bad = hit & jnp.logical_not(ok)  # (H, W): black-rendered rays
         return rgbp, okp, errdp, ovfp, ext_bad
 
