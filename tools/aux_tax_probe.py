@@ -54,7 +54,7 @@ def main():
         if aux is False:
             return _render_fast(pk, u, W, H, ii, True, warp_win=0,
                                 warp_wu=128)
-        rgbp, okp, errdp, ovfp, ext_bad = _render_fast(
+        rgbp, okp, errdp, ovfp, hitp = _render_fast(
             pk, u, W, H, ii, False, warp_win=0, warp_wu=128,
             return_aux=aux)
         # the hybrid's finish(): single unpack of the 3 planes + srgb.
@@ -62,7 +62,7 @@ def main():
         merged = [_unpack_tiles(p, ph, pw)[:H, :W] for p in rgbp]
         out = linear_to_srgb(jnp.stack(merged, axis=-1))
         out = out + 0.0 * (errdp.sum() + ovfp.sum() + okp[0, 0]
-                           + ext_bad.sum())
+                           + hitp.sum())
         return out
 
     out = {"ii": ii,

@@ -124,9 +124,9 @@ def _render_hybrid(
     # extra packs/unpacks; intercept decomposition, round 3).
     # Contract (see _warp_to_screen): packed ok-masked linear rgb planes,
     # the packed ok mask, the packed warped-curvature error density, the
-    # packed window-overflow flag, and the (H, W) extent-excluded mask
-    # (hit rays the warp rendered black).
-    rgbp, okp, errdp, ovfp, ext_bad = _render_fast(
+    # packed window-overflow flag, and the packed box-hit mask (extent
+    # exclusions = hit & ~ok, derived below without leaving the packing).
+    rgbp, okp, errdp, ovfp, hitp = _render_fast(
         packs, camera_uniform, width, height, intermediate, False,
         warp_win=warp_win, warp_wu=warp_wu, return_aux="packed")
     # tile grid over the PADDED frame so n_tiles (and the parked-id
@@ -183,9 +183,7 @@ def _render_hybrid(
     # the whole budget (offline score lab, round 3: worst-pose budget for
     # 8e-4 fell 138 -> 66 vs the oracle ranking's 59; hard-boosting
     # overflow tiles alone still measured 105-115).
-    ext_frac = jnp.pad(ext_bad.astype(jnp.float32),
-                       ((0, ph - height), (0, pw - width)))
-    ext_frac = ext_frac.reshape(ny, TILE, nx, TILE).mean(axis=(1, 3))
+    ext_frac = ptile_mean(hitp * (1.0 - okp)).reshape(ny, nx)
     ovf_frac = ptile_mean(okp * ovfp).reshape(ny, nx)
     tile_peak = (lums.reshape(n_tiles, 8, 128).max(axis=(1, 2))
                  .reshape(ny, nx))

@@ -504,8 +504,11 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
         errdp = (jnp.where(okp > 0.0, outs[3], 0.0) if want_curv
                  else jnp.zeros_like(okp))
         ovfp = outs[3 + int(want_curv)] if want_ovf else jnp.zeros_like(okp)
-        ext_bad = hit & jnp.logical_not(ok)  # (H, W): black-rendered rays
-        return rgbp, okp, errdp, ovfp, ext_bad
+        # packed hit mask: the hybrid derives its extent-excluded channel
+        # as hitp*(1-okp) with a packed per-tile mean — returning the
+        # (H, W) ext_bad instead forced a (ny, 32, nx, 32) relayout there
+        hitp = pack(hit.astype(jnp.float32))
+        return rgbp, okp, errdp, ovfp, hitp
 
     out = _warp_bilinear(jnp.stack(chans, 0), av, bu, ok,
                          win_rows=warp_win, win_u=warp_wu,
