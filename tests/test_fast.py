@@ -359,7 +359,7 @@ def test_hybrid_pose_escalation_ladder(monkeypatch):
 
     def fake_render_hybrid(packs, layouts, u, thresh, w, h, ii, budget,
                            srgb, dims, win, band_rows, nb, bstride,
-                           max_steps, wwin=0, wwu=128):
+                           max_steps, wwin=0, wwu=128, pair=False):
         calls["mode"] = ("hybrid", ii, wwin, wwu)
         return "img", 0
 

@@ -430,6 +430,47 @@ def test_tiles_into_merges_over_base():
     assert (np.asarray(planes[2])[0:8] == 9.0).all()
 
 
+def test_tiles_into_pairs_matches_full_march():
+    """tiles_per_step=2: pair ids march BOTH member tiles exactly (the
+    re-march analog of the full-frame kernel's 2-tile grid-step fusion);
+    unselected pairs keep base values and the parked id drops."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vokselis_tpu.core import geometry
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.volume.io import get_bonsai
+    import vokselis_tpu.ops.pallas.march_bonsai as mb
+
+    vol = get_bonsai(32)
+    meta, pack = mb.prepare_volume(vol, 96)
+    dims, band_rows, nb, bstride = meta
+    u = Camera.bonsai(1.0).uniform()
+    w, h = 128, 64  # 4x2 tiles -> 4 pairs
+    eye, dxyz = geometry.rays_fragment_soa(u, w, h)
+    full, _ = mb.render_bonsai_rays_pallas(
+        pack, eye, dxyz, dims, 64, False, 96, band_rows, nb, bstride
+    )
+    full_packed = mb._pack_tiles(full[..., 0], h, w)
+
+    n_tiles = 8
+    base = tuple(
+        jnp.full(((n_tiles + 2) * 8, 128), 7.0 + ch, jnp.float32)
+        for ch in range(4)
+    )
+    ids = jnp.asarray([2, 1, 4], jnp.int32)  # pairs; 4 = parked
+    planes, ovf = mb.render_bonsai_tiles_into(
+        pack, base, u, ids, w, h, dims, 64, 96, band_rows, nb, bstride,
+        tiles_per_step=2,
+    )
+    assert int(ovf) == 0
+    got_r = np.asarray(planes[0])
+    for tid in (2, 3, 4, 5):  # pairs 1, 2 -> tiles 2..5
+        want = np.asarray(full_packed[tid * 8:(tid + 1) * 8])
+        assert np.abs(got_r[tid * 8:(tid + 1) * 8] - want).max() < 1e-6, tid
+    for tid in (0, 1, 6, 7):  # pairs 0, 3 unselected
+        assert (got_r[tid * 8:(tid + 1) * 8] == 7.0).all(), tid
+
+
 def test_hybrid_full_budget_matches_exact():
     """With budget = every tile and thresh 0 the hybrid frame IS the exact
     kernel frame (fast pixels fully replaced)."""

@@ -26,6 +26,7 @@ oracle (PARITY_REPORT.md). Matches shaders/raycast_naive.wgsl:84-125.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -55,6 +56,18 @@ from vokselis_tpu.utils.grid import cdiv
 # poses spend near-zero exact work while hard poses fill the budget
 DEFAULT_THRESH = 1e-3
 DEFAULT_BUDGET = 128
+
+# A/B switch for the pair-fused re-march (VOK_HYBRID_PAIR=0 to disable)
+_PAIR = os.environ.get("VOK_HYBRID_PAIR", "1") == "1"
+
+
+def _pair_mode(dims: int, width: int, height: int, cap: int) -> bool:
+    """True when the re-march should fuse tile pairs: even tile row width
+    (raster-consecutive ids must be horizontal neighbors) and a pair slab
+    window that fits the cap (same gate as the full-frame kernel's
+    fusion, pick_tiles_per_step)."""
+    return (_PAIR and cdiv(width, TILE) % 2 == 0
+            and pick_tiles_per_step(dims, width, height, cap) == 2)
 
 
 def _dilate3(t):
@@ -95,7 +108,7 @@ def _packed_edge(x):
     jax.jit,
     static_argnames=("width", "height", "intermediate", "budget", "srgb",
                      "dims", "win_rows", "band_rows", "nb", "bstride",
-                     "max_steps", "warp_win", "warp_wu"),
+                     "max_steps", "warp_win", "warp_wu", "pair"),
 )
 def _render_hybrid(
     packs,
@@ -115,6 +128,7 @@ def _render_hybrid(
     max_steps: int = MAX_STEPS_BONSAI,
     warp_win: int = 0,
     warp_wu: int = 128,
+    pair: bool = False,
 ):
     # 1. fast frame in LINEAR color (srgb once, after the merge), in the
     # PACKED (n_tiles*8, 128) tile layout the warp kernel and the
@@ -191,21 +205,34 @@ def _render_hybrid(
     tile_peak = _dilate3(tile_peak)
     scores = scores + ((ext_frac + 4.0 * ovf_frac) * tile_peak).reshape(-1)
 
-    budget = min(budget, n_tiles)  # small frames: top_k k must fit
-    vals, ids = jax.lax.top_k(scores, budget)
-    ids = jnp.where(vals > thresh, ids, n_tiles)  # park below-thresh picks
+    # selection granularity: with ``pair`` the re-march fuses two
+    # horizontally-adjacent tiles per grid step (the full-frame kernel's
+    # tps=2 trick — per-step scalar machinery, band DMAs and window
+    # conversion amortize over both tiles), so selection runs over PAIRS
+    # ranked by their worst member; budget stays counted in TILES.
+    tps_r = 2 if pair else 1
+    if pair:
+        n_units = n_tiles // 2
+        budget_u = min(cdiv(budget, 2), n_units)
+        vals, ids = jax.lax.top_k(scores.reshape(n_units, 2).max(axis=1),
+                                  budget_u)
+        ids = jnp.where(vals > thresh, ids, n_units)  # park below-thresh
+    else:
+        budget = min(budget, n_tiles)  # small frames: top_k k must fit
+        vals, ids = jax.lax.top_k(scores, budget)
+        ids = jnp.where(vals > thresh, ids, n_tiles)
 
     # 3. exact re-march of the selected tiles, written IN PLACE over the
     # packed fast planes via Pallas output aliasing (an XLA scatter here
-    # measured multi-ms — TPU scatters serialize). The pad tile row
+    # measured multi-ms — TPU scatters serialize). The pad unit row-block
     # receives parked ids' writes and is sliced off before the unpack.
-    base = tuple(jnp.pad(p, ((0, 8), (0, 0))) for p in rgbp)
+    base = tuple(jnp.pad(p, ((0, 8 * tps_r), (0, 0))) for p in rgbp)
     base = base + (jnp.zeros_like(base[0]),)
     planes, ovf = render_bonsai_tiles_into(
         layouts, base, camera_uniform, ids, width, height, dims, max_steps,
-        win_rows, band_rows, nb, bstride,
+        win_rows, band_rows, nb, bstride, tiles_per_step=tps_r,
     )
-    return finish([p[:-8] for p in planes[:3]]), ovf
+    return finish([p[:-8 * tps_r] for p in planes[:3]]), ovf
 
 
 class HybridBonsaiRenderer:
@@ -272,13 +299,15 @@ class HybridBonsaiRenderer:
                 max_steps, srgb, ewin, self.band_rows, self.nb,
                 self.bstride, tps,
             )
-        win = min(auto_win_rows(self.dims, width, height, 1), self.win_cap)
+        pair = _pair_mode(self.dims, width, height, self.win_cap)
+        win = min(auto_win_rows(self.dims, width, height, 2 if pair else 1),
+                  self.win_cap)
         img, ovf = _render_hybrid(
             self.packs, self.layouts, camera_uniform,
             jnp.float32(self.thresh), width, height, ii,
             self.budget if budget is None else budget, srgb, self.dims, win,
             self.band_rows, self.nb, self.bstride, max_steps,
-            wwin, wwu,
+            wwin, wwu, pair,
         )
         return img, ovf
 
@@ -297,14 +326,15 @@ class HybridBonsaiRenderer:
                    max_steps=MAX_STEPS_BONSAI, srgb=True, budget=None):
             packs, layouts = pk
             wwin, wwu = (0, 128) if hint is None else (hint[0], hint[1])
-            win = min(auto_win_rows(self.dims, width, height, 1),
-                      self.win_cap)
+            pair = _pair_mode(self.dims, width, height, self.win_cap)
+            win = min(auto_win_rows(self.dims, width, height,
+                                    2 if pair else 1), self.win_cap)
             return _render_hybrid(
                 packs, layouts, camera_uniform, jnp.float32(self.thresh),
                 width, height, self.intermediate,
                 self.budget if budget is None else budget, srgb, self.dims,
                 win, self.band_rows, self.nb, self.bstride, max_steps,
-                wwin, wwu,
+                wwin, wwu, pair,
             )
 
         return render, pack
@@ -340,12 +370,14 @@ def build_hybrid_renderer(vol_u8, intermediate: int = 512,
                max_steps=MAX_STEPS_BONSAI, srgb=True, hint=None):
         packs, layouts = pk
         wwin, wwu = (0, 128) if hint is None else (hint[0], hint[1])
-        win = min(auto_win_rows(r.dims, width, height, 1), r.win_cap)
+        pair = _pair_mode(r.dims, width, height, r.win_cap)
+        win = min(auto_win_rows(r.dims, width, height, 2 if pair else 1),
+                  r.win_cap)
         img, _ovf = _render_hybrid(
             packs, layouts, camera_uniform, jnp.float32(thresh),
             width, height, intermediate, budget, srgb,
             r.dims, win, r.band_rows, r.nb, r.bstride, max_steps,
-            wwin, wwu,
+            wwin, wwu, pair,
         )
         return img
 

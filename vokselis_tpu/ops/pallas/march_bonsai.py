@@ -993,10 +993,11 @@ def _march_kernel_ids_into(ids_ref, crange_ref, occ_ref, eye_ref, vol_hbm,
                          dxr, dyr, dzr, tstr, t1r, hitr, *args, **kwargs)
 
 
-def _tile_rays_compact(camera_uniform, tile_ids, width: int, height: int):
+def _tile_rays_compact(camera_uniform, tile_ids, width: int, height: int,
+                       tiles_per_step: int = 1):
     """Fragment-path rays for ONLY the listed 32x32 tiles, emitted directly
-    in the packed (n_sel*8, 128) layout of :func:`_pack_tiles` (packed
-    element (s, l) of a tile is its row ``s*4 + l//32``, col ``l%32``).
+    in the packed (n_sel*8*tps, 128) layout of :func:`_pack_tiles` (packed
+    element (s, l) of a tile is its row ``(s%8)*4 + l//32``, col ``l%32``).
 
     Replaces full-frame raygen + 6 full-frame tile packs in the hybrid's
     re-march path: the fixed full-frame prep measured ~2.5 ms at 1024^2
@@ -1005,19 +1006,27 @@ def _tile_rays_compact(camera_uniform, tile_ids, width: int, height: int):
     geometry.rays_fragment_soa + intersect_box_soa exactly (same ops, same
     order) so parity with the full-frame path is bit-exact.
 
-    Entries equal to ``n_tiles`` (parked picks) and pixels outside the
+    With ``tiles_per_step=2`` the ids index PAIRS of horizontally-adjacent
+    tiles (unit p = tiles 2p, 2p+1 — raster-consecutive, so callers must
+    guarantee an even tile row width): one (16, 128) block per unit, the
+    re-march analog of the full-frame kernel's 2-tile grid-step fusion.
+
+    Entries equal to the unit count (parked picks) and pixels outside the
     frame (cdiv padding) get hit=0 — they compose to the miss color and
     never gate DMA. Returns 6 planes (dx, dy, dz, t_start, t1, hit).
     """
     nx = cdiv(width, TILE)
     ny = cdiv(height, TILE)
-    n_tiles = ny * nx
+    tps = tiles_per_step
+    n_units = (ny * nx) // tps
     ids = tile_ids.astype(jnp.int32)
-    s = jnp.arange(8, dtype=jnp.int32)
+    s = jnp.arange(8 * tps, dtype=jnp.int32)
     lane = jnp.arange(128, dtype=jnp.int32)
-    ty = (ids // nx)[:, None, None]
-    tx = (ids % nx)[:, None, None]
-    iy = ty * TILE + s[None, :, None] * 4 + (lane // 32)[None, None, :]
+    tile = ids[:, None] * tps + (s // 8)[None, :]  # (n_sel, 8*tps)
+    ty = (tile // nx)[:, :, None]
+    tx = (tile % nx)[:, :, None]
+    iy = (ty * TILE + ((s % 8) * 4)[None, :, None]
+          + (lane // 32)[None, None, :])
     ix = tx * TILE + (lane % 32)[None, None, :]
     px = ix.astype(jnp.float32) + 0.5
     py = iy.astype(jnp.float32) + 0.5
@@ -1036,19 +1045,19 @@ def _tile_rays_compact(camera_uniform, tile_ids, width: int, height: int):
     ey = jnp.broadcast_to(eye[1], dx.shape)
     ez = jnp.broadcast_to(eye[2], dx.shape)
     t0, t1 = geometry.intersect_box_soa(ex, ey, ez, dx, dy, dz, 0.0, 1.0)
-    hit = (t0 <= t1) & (ids[:, None, None] < n_tiles)
+    hit = (t0 <= t1) & (ids[:, None, None] < n_units)
     hit &= (ix < width) & (iy < height)
     t_start = jnp.maximum(t0, 0.0)
     n_sel = ids.shape[0]
-    return tuple(p.reshape(n_sel * 8, 128) for p in
+    return tuple(p.reshape(n_sel * 8 * tps, 128) for p in
                  (dx, dy, dz, t_start, t1, hit.astype(jnp.float32)))
 
 
 def render_bonsai_tiles_into(
     vol_pack,
-    base_planes,  # 4-tuple of ((n_tiles + 1) * 8, 128) packed linear planes
+    base_planes,  # 4-tuple of ((n_tiles + tps) * 8, 128) packed planes
     camera_uniform,
-    tile_ids,  # (n_sel,) int32 — 32x32 tile ids to march; pad with n_tiles
+    tile_ids,  # (n_sel,) int32 — tile (or pair) ids to march; pad w/ count
     width: int,
     height: int,
     dims: int,
@@ -1057,34 +1066,47 @@ def render_bonsai_tiles_into(
     band_rows: int = 128,
     nb: int = 3,
     bstride: int = BAND_STRIDE,
+    tiles_per_step: int = 1,
 ):
     """render_bonsai_tiles_pallas, but the exact tiles are written IN PLACE
     over donated base planes via Pallas output aliasing — no XLA scatter
     (measured multi-ms at 1024^2: TPU scatters serialize), and the ray
     planes are generated compactly for ONLY the selected tiles
     (:func:`_tile_rays_compact`) — no full-frame prep. The base planes
-    are the fast frame's packed linear rgba with ONE extra trailing tile
-    row-block: padded ``tile_ids`` entries (== n_tiles) land there and the
-    caller slices it off. Returns (merged planes r/g/b/a, overflow count).
+    are the fast frame's packed linear rgba with ONE extra trailing unit
+    row-block: padded ``tile_ids`` entries (== unit count) land there and
+    the caller slices it off. Returns (merged r/g/b/a, overflow count).
+
+    ``tiles_per_step=2`` marches PAIRS of horizontally-adjacent tiles per
+    grid step (ids are pair indices; see :func:`_tile_rays_compact`): the
+    per-step scalar machinery (class probes, chunk metas, band DMAs +
+    window conversion) amortizes over both tiles exactly like the
+    full-frame kernel's 2-tile fusion, and selected silhouette tiles are
+    spatially clustered so the pair's union slab window barely grows.
+    Callers must size ``win_rows`` for the PAIR footprint
+    (auto_win_rows(..., 2)) and guarantee an even tile row width.
     """
     vol_chunks, occ, cranges = vol_pack
     ph = cdiv(height, TILE) * TILE
     pw = cdiv(width, TILE) * TILE
     n_tiles = (ph // TILE) * (pw // TILE)
+    tps = tiles_per_step
+    assert tps == 1 or (pw // TILE) % tps == 0, (tps, pw)
 
     n_sel = tile_ids.shape[0]
-    ins = _tile_rays_compact(camera_uniform, tile_ids, width, height)
+    ins = _tile_rays_compact(camera_uniform, tile_ids, width, height, tps)
     eye = camera_uniform.view_position[:3]
     eye_vec = jnp.stack([eye[0], eye[1], eye[2]]).astype(jnp.float32)
     for bp in base_planes:
-        assert bp.shape == ((n_tiles + 1) * 8, 128), bp.shape
+        assert bp.shape == ((n_tiles + tps) * 8, 128), bp.shape
 
     in_block = pl.BlockSpec(
-        (8, 128), lambda i, ids, _cr, _occ: (ids[i], 0),
+        (8 * tps, 128), lambda i, ids, _cr, _occ: (ids[i], 0),
         memory_space=pltpu.VMEM,
     )
     sel_block = pl.BlockSpec(
-        (8, 128), lambda i, _ids, _cr, _occ: (i, 0), memory_space=pltpu.VMEM
+        (8 * tps, 128), lambda i, _ids, _cr, _occ: (i, 0),
+        memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1110,8 +1132,8 @@ def render_bonsai_tiles_into(
                 max_steps=max_steps),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(((n_tiles + 1) * 8, 128), jnp.float32)
-        ] * 4 + [jax.ShapeDtypeStruct((n_sel * 8, 128), jnp.float32)],
+            jax.ShapeDtypeStruct(((n_tiles + tps) * 8, 128), jnp.float32)
+        ] * 4 + [jax.ShapeDtypeStruct((n_sel * 8 * tps, 128), jnp.float32)],
         input_output_aliases={11: 0, 12: 1, 13: 2, 14: 3},
     )(tile_ids.astype(jnp.int32), cranges.reshape(-1), occ, eye_vec,
       vol_chunks, *ins, *base_planes)

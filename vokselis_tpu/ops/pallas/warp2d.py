@@ -340,6 +340,345 @@ def mxu_adaptive_eligible(n_ch: int, ii: int) -> bool:
     return _ADAPTIVE and _MXU and n_ch * ii * iw_pad * 2 <= _MXU_VMEM_CAP
 
 
+def _packed_edge(x):
+    """|d/dcol| + |d/drow| of a PACKED tile plane or block, within-tile
+    only. Packed element (s, l) of a tile is image row ``(s%8)*4 + l//32``,
+    col ``l%32`` (march_bonsai._pack_tiles), so the left neighbor is one
+    lane over (masked at within-tile col 0) and the row-above neighbor is
+    32 lanes over — or, for image rows 0 mod 4, one sublane up and 96
+    lanes forward. Cross-tile diffs are dropped (tiles aren't adjacent in
+    memory): the edge channel is a 0.03-weighted selection heuristic and
+    the score lab measured edge-weight insensitivity. Static rolls only —
+    wrapped values are exactly the masked positions — so the same code
+    runs on the full (n_tiles*8, 128) plane in XLA and on one (8, 128)
+    block inside the Mosaic stats kernel."""
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    sub = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    prev_col = jnp.roll(x, 1, axis=1)
+    cd = jnp.where(lane % 32 == 0, 0.0, jnp.abs(x - prev_col))
+    prev_lane32 = jnp.roll(x, 32, axis=1)
+    prev_sub96 = jnp.roll(jnp.roll(x, 1, axis=0), -96, axis=1)
+    prev_row = jnp.where(lane >= 32, prev_lane32, prev_sub96)
+    rd = jnp.where((sub % 8 == 0) & (lane < 32), 0.0, jnp.abs(x - prev_row))
+    return cd + rd
+
+
+def _srgb_mosaic(x):
+    """linear_to_srgb with the pow spelled as exp/log (Mosaic has no powf;
+    operands clamped so the log is finite)."""
+    xc = jnp.maximum(x, 1e-12)
+    return jnp.where(x <= 0.0031308, 12.92 * jnp.maximum(x, 0.0),
+                     1.055 * jnp.exp(jnp.log(xc) * (1.0 / 2.4)) - 0.055)
+
+
+def _srgb_slope_mosaic(lum):
+    """Local slope of the sRGB transfer at linear luminance ``lum`` (>=
+    1e-6): gamma amplifies dark-region differences up to 12.92x."""
+    return jnp.where(
+        lum > 0.0031308,
+        (1.055 / 2.4) * jnp.exp((1.0 / 2.4 - 1.0) * jnp.log(lum)),
+        12.92,
+    )
+
+
+# stats plane row layout (each row broadcast across its 128 lanes); the
+# divisor for the sum rows is the 8*128 tile pixel count
+STAT_CURV = 0   # sum(warped curvature x sRGB slope), ok pixels
+STAT_EDGE = 1   # sum of within-tile |grad| of the sRGB luminance
+STAT_OVF = 2    # count of ok pixels whose warp window overflowed
+STAT_EXT = 3    # count of box-hit pixels outside the warp extent (~ok)
+STAT_PEAK = 4   # max sRGB luminance in the tile
+
+
+def _stats_rows(vals):
+    """(8, 128) block with vals[i] broadcast across row i, rest zero."""
+    sub = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    out = jnp.zeros((8, 128), jnp.float32)
+    for i, v in enumerate(vals):
+        out = out + jnp.where(sub == i, v, 0.0)
+    return out
+
+
+def _warp_kernel_mxu_stats(
+    chans_ref,  # (4, I, iw_pad) bf16 — rgb + curvature, VMEM-resident
+    avr, bur,  # (8, 128) fractional coords (v, u)
+    okr,  # (8, 128) 1.0 where the warp can reconstruct the pixel
+    boxr,  # (8, 128) 1.0 where the ray hits the volume box
+    out_r, out_g, out_b,  # ok-masked linear rgb
+    stats_ref,  # (8, 128) per-tile score statistics (see STAT_* rows)
+    a_win,  # scratch (4 * win_rows, wk) bf16
+    *,
+    ii: int,
+    iw: int,
+    iw_pad: int,
+    win_rows: int,
+    win_u: int,
+):
+    """The MXU warp with the hybrid's ENTIRE per-pixel aux contract folded
+    in-kernel: everything the tile scoring consumes (warped curvature x
+    sRGB slope, luminance edge term, window-overflow and extent-excluded
+    counts, peak luminance) reduces to ONE (8, 128) stats block per tile
+    while the data is already VMEM-resident. Replaces the round-3 packed
+    contract's two extra full-frame planes (errd, ovf), two full-frame
+    packs (ok, hit returned to XLA) and five full-frame XLA scoring
+    passes (3x linear_to_srgb, packed edge, masking selects + per-tile
+    reduces) — the bulk of the measured ~1.0-1.4 ms aux tax and ~0.5 ms
+    scoring tax on the hybrid's budget-0 frame (tools/aux_tax_probe.py,
+    OPPOINT.json round 3)."""
+    av, bu = avr[:], bur[:]
+    okm = okr[:] > 0.5
+    boxm = boxr[:] > 0.5
+    win_u = min(win_u, iw_pad)
+    wk = max(win_u, 128)
+
+    av_c = jnp.clip(av, 0.0, float(ii) - 1.0)
+    bu_c = jnp.clip(bu, 0.0, float(iw) - 1.0)
+    any_ok = jnp.any(okm) if _GATE else jnp.bool_(True)
+
+    @pl.when(jnp.logical_not(any_ok))
+    def _():
+        z = jnp.zeros_like(av)
+        out_r[:] = z
+        out_g[:] = z
+        out_b[:] = z
+        # extent-excluded pixels still count: a black-rendered hit cluster
+        # next to content must stay rankable (its tile_peak neighborhood
+        # term is applied XLA-side from the dilated peak grid)
+        ext = jnp.sum(boxm.astype(jnp.float32))
+        stats_ref[:] = _stats_rows([0.0, 0.0, 0.0, ext, 0.0])
+
+    @pl.when(any_ok)
+    def _():
+        big = float(max(ii, iw))
+        v_lo = jnp.min(jnp.where(okm, jnp.floor(av_c), big))
+        u_lo = jnp.min(jnp.where(okm, jnp.floor(bu_c), big))
+        v_b = pl.multiple_of(
+            jnp.clip(
+                (v_lo.astype(jnp.int32) // 8) * 8,
+                0,
+                max((ii - win_rows) // 8 * 8, 0),
+            ),
+            8,
+        )
+        u_b = jnp.clip(u_lo.astype(jnp.int32), 0, max(iw_pad - win_u, 0))
+
+        for c in range(4):
+            rolled = pltpu.roll(
+                chans_ref[c, pl.ds(v_b, win_rows), :].astype(jnp.float32),
+                -u_b, 1,
+            )[:, :win_u]
+            if win_u < wk:
+                rolled = jnp.pad(rolled, ((0, 0), (0, wk - win_u)))
+            a_win[pl.ds(c * win_rows, win_rows), :] = rolled.astype(
+                jnp.bfloat16
+            )
+
+        vb_f = v_b.astype(jnp.float32)
+        ub_f = u_b.astype(jnp.float32)
+        ovf = okm & (
+            (jnp.floor(av_c) - vb_f > float(win_rows - 2))
+            | (jnp.floor(bu_c) - ub_f > float(win_u - 2))
+        )
+
+        bu_l = jnp.clip(bu_c - ub_f, 0.0, win_u - 1.0)
+        av_l = jnp.clip(av_c - vb_f, 0.0, win_rows - 1.0)
+        iota_u = lax.broadcasted_iota(jnp.int32, (wk, 128), 0).astype(
+            jnp.float32
+        )
+        iota_v = lax.broadcasted_iota(jnp.int32, (win_rows, 128), 0).astype(
+            jnp.float32
+        )
+        aw = a_win[:, :]
+        # per packed sublane row q: one (4*win_rows, win_u) @ (win_u, 128)
+        # MXU dot folds the u-lerp; the v-lerp is a hat-weighted sublane
+        # reduce per channel. Rows land in the output refs (curvature
+        # parks in stats_ref, overwritten below) — read back as full
+        # blocks for the masking + stats, avoiding sublane concatenates.
+        row_refs = (out_r, out_g, out_b, stats_ref)
+        for q in range(8):
+            wu = jnp.maximum(
+                0.0, 1.0 - jnp.abs(iota_u - bu_l[q : q + 1, :])
+            ).astype(jnp.bfloat16)
+            cq = lax.dot_general(
+                aw, wu, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4 * win_rows, 128)
+            hv = jnp.maximum(0.0, 1.0 - jnp.abs(iota_v - av_l[q : q + 1, :]))
+            for c in range(4):
+                row_refs[c][q : q + 1, :] = jnp.sum(
+                    hv * cq[c * win_rows : (c + 1) * win_rows, :],
+                    axis=0,
+                    keepdims=True,
+                )
+
+        r = jnp.where(okm, out_r[:], 0.0)
+        g = jnp.where(okm, out_g[:], 0.0)
+        b = jnp.where(okm, out_b[:], 0.0)
+        cu = jnp.where(okm, stats_ref[:], 0.0)
+        out_r[:] = r
+        out_g[:] = g
+        out_b[:] = b
+
+        lum = jnp.maximum((r + g + b) * (1.0 / 3.0), 1e-6)
+        slope = _srgb_slope_mosaic(lum)
+        lums = (_srgb_mosaic(r) + _srgb_mosaic(g) + _srgb_mosaic(b)) * (
+            1.0 / 3.0
+        )
+        edge = _packed_edge(lums)
+        stats_ref[:] = _stats_rows([
+            jnp.sum(cu * slope),
+            jnp.sum(edge),
+            jnp.sum(ovf.astype(jnp.float32)),
+            jnp.sum((boxm & jnp.logical_not(okm)).astype(jnp.float32)),
+            jnp.max(lums),
+        ])
+
+
+def stats_from_packed(rgbp, curvp, ovfp, okp, boxp):
+    """XLA mirror of the stats kernel's reduction: packed ok-MASKED rgb +
+    curvature planes, per-pixel overflow flags and the ok/box-hit masks
+    (all (n_tiles*8, 128)) -> the stats plane. The CPU fallback path and
+    the interpret-mode tests run the hybrid's scoring through this."""
+    from vokselis_tpu.core.colors import linear_to_srgb
+
+    r, g, b = rgbp
+    n_tiles = r.shape[0] // 8
+    lum = jnp.maximum((r + g + b) * (1.0 / 3.0), 1e-6)
+    slope = jnp.where(
+        lum > 0.0031308, (1.055 / 2.4) * lum ** (1.0 / 2.4 - 1.0), 12.92
+    )
+    lums = (linear_to_srgb(jnp.maximum(r, 0.0))
+            + linear_to_srgb(jnp.maximum(g, 0.0))
+            + linear_to_srgb(jnp.maximum(b, 0.0))) * (1.0 / 3.0)
+    edge = _packed_edge(lums)
+
+    def tsum(x):
+        return x.reshape(n_tiles, 8, 128).sum(axis=(1, 2))
+
+    vals = [
+        tsum(curvp * slope),
+        tsum(edge),
+        tsum(okp * ovfp),
+        tsum(boxp * (1.0 - okp)),
+        lums.reshape(n_tiles, 8, 128).max(axis=(1, 2)),
+    ]
+    sub = (jnp.arange(n_tiles * 8) % 8)[:, None]
+    out = jnp.zeros((n_tiles * 8, 128), jnp.float32)
+    for i, v in enumerate(vals):
+        out = out + jnp.where(sub == i, jnp.repeat(v, 8)[:, None], 0.0)
+    return out
+
+
+def _rewarp_kernel_stats(ids_ref, chans_ref, avr, bur, okr, boxr,
+                         *rest, **kw):
+    """Compact stats re-warp wrapper: drop the scalar-prefetch ids ref and
+    the 4 ALIASED input plane refs (the output refs are the same memory)."""
+    return _warp_kernel_mxu_stats(chans_ref, avr, bur, okr, boxr,
+                                  *rest[4:], **kw)
+
+
+def _rewarp_overflow_tiles_stats(chans_b, av_p, bu_p, ok_p, box_p, planes,
+                                 ii, iw, iw_pad, win_rows, win_u):
+    """_rewarp_overflow_tiles for the stats contract: per-tile overflow
+    counts come from the stats plane's STAT_OVF row, and the re-warp
+    updates each selected tile's rgb AND stats block in place (a tile
+    still exceeding the big window keeps a nonzero count for the hybrid's
+    exact re-march)."""
+    n_tiles = av_p.shape[0] // 8
+    n_sel = min(_REWARP_CAP, n_tiles)
+    counts = planes[3].reshape(n_tiles, 8, 128)[:, STAT_OVF, 0]
+    vals, ids = jax.lax.top_k(counts, n_sel)
+    ids = jnp.where(vals > 0.0, ids, n_tiles).astype(jnp.int32)
+
+    pad8 = ((0, 8), (0, 0))
+    base = [jnp.pad(p, pad8) for p in planes]
+    av_pp, bu_pp, ok_pp, box_pp = (
+        jnp.pad(x, pad8) for x in (av_p, bu_p, ok_p, box_p)
+    )
+
+    id_block = pl.BlockSpec(
+        (8, 128), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sel,),
+        in_specs=[
+            pl.BlockSpec((4, ii, iw_pad), lambda i, ids: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [id_block] * 8,
+        out_specs=[id_block] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((4 * win_rows, max(win_u, 128)), jnp.bfloat16),
+        ],
+    )
+    # operand numbering for aliasing counts the scalar-prefetch arg:
+    # 0 ids, 1 chans, 2-5 coords/masks, 6-9 the aliased planes
+    outs = pl.pallas_call(
+        partial(_rewarp_kernel_stats, ii=ii, iw=iw, iw_pad=iw_pad,
+                win_rows=win_rows, win_u=win_u),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(((n_tiles + 1) * 8, 128), jnp.float32)
+        ] * 4,
+        input_output_aliases={6 + j: j for j in range(4)},
+    )(ids, chans_b, av_pp, bu_pp, ok_pp, box_pp, *base)
+    return [o[:-8] for o in outs]
+
+
+def mxu_stats_eligible(ii: int) -> bool:
+    """True when the in-kernel stats warp can run a (4, ii, ii)
+    intermediate (VMEM residency, same budget as the plain MXU path)."""
+    iw_pad = 1 << (ii - 1).bit_length()
+    return _MXU and 4 * ii * iw_pad * 2 <= _MXU_VMEM_CAP
+
+
+@partial(jax.jit, static_argnames=("height", "width", "adaptive"))
+def warp_stats_packed(chans, av_p, bu_p, ok_p, box_p, height, width,
+                      adaptive=True):
+    """Stats-contract warp: (4, I, I) rgb+curvature channels warped at the
+    packed coords -> [r, g, b, stats] packed planes, with the rgb
+    ok-masked in-kernel and every per-tile scoring ingredient reduced into
+    the stats plane (see STAT_* rows). Two-pass adaptive windows like
+    warp_bilinear_packed. Caller must check :func:`mxu_stats_eligible`."""
+    n_ch, ii, iw = chans.shape
+    assert n_ch == 4, n_ch
+    iw_pad = 1 << (iw - 1).bit_length()
+    if iw_pad != iw:
+        chans = jnp.pad(chans, ((0, 0), (0, 0), (0, iw_pad - iw)))
+    n_tiles = av_p.shape[0] // 8
+    block = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    win1 = min(_win_rows(ii, height, width), max((ii // 8) * 8, 8), ii)
+    win1_u = min(128, iw_pad)
+    win2 = min(_REWARP_ROWS, max((ii // 8) * 8, 8), ii)
+    win2_u = min(_REWARP_U, iw_pad)
+    use2 = (_ADAPTIVE and adaptive and (win2 > win1 or win2_u > win1_u))
+
+    chans_b = chans.astype(jnp.bfloat16)
+    outs = pl.pallas_call(
+        partial(_warp_kernel_mxu_stats, ii=ii, iw=iw, iw_pad=iw_pad,
+                win_rows=win1, win_u=win1_u),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((4, ii, iw_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [block] * 4,
+        out_specs=[block] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
+        ] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((4 * win1, max(win1_u, 128)), jnp.bfloat16),
+        ],
+    )(chans_b, av_p, bu_p, ok_p, box_p)
+    if use2:
+        outs = _rewarp_overflow_tiles_stats(
+            chans_b, av_p, bu_p, ok_p, box_p, outs,
+            ii, iw, iw_pad, win2, win2_u,
+        )
+    return outs
+
+
 def _rewarp_kernel(ids_ref, chans_ref, avr, bur, hitr, *rest, n_out, **kw):
     """Compact re-warp wrapper: drop the scalar-prefetch ids ref and the
     n_out ALIASED input plane refs (the output refs are the same memory);
