@@ -204,6 +204,70 @@ def test_warp_four_channels(interpret):
     assert np.abs(got - want)[:, interior].max() < 5e-3
 
 
+def test_warp_stats_kernel_matches_xla_mirror(monkeypatch):
+    """The in-kernel stats reduction (round-4 hybrid contract) agrees with
+    the XLA mirror stats_from_packed: ok-masked rgb outputs, curvature x
+    slope / edge sums, extent counts and peak per tile. MXU kernel only
+    (the stats contract requires the VMEM-resident formulation)."""
+    import jax.experimental.pallas as pl
+    import importlib
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    import vokselis_tpu.ops.pallas.warp2d as w2
+
+    importlib.reload(w2)
+    try:
+        from jax.scipy.ndimage import map_coordinates
+        from vokselis_tpu.ops.pallas.march_bonsai import _pack_tiles
+
+        rng = np.random.default_rng(11)
+        ii = 64
+        h = w = 64  # 2x2 tiles
+        chans = jnp.asarray(rng.random((4, ii, ii), dtype=np.float32))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        # gentle map: per-tile footprints fit the default window
+        av = jnp.asarray(0.55 * yy + 0.1 * xx + 3.0)
+        bu = jnp.asarray(0.6 * xx + 2.0)
+        ok = jnp.asarray((rng.random((h, w)) > 0.2).astype(np.float32))
+        box = jnp.clip(ok + (rng.random((h, w)) > 0.5), 0.0, 1.0)
+
+        def pack(x):
+            return _pack_tiles(x, h, w)
+
+        outs = w2.warp_stats_packed(
+            chans, pack(av), pack(bu), pack(ok), pack(jnp.asarray(box)),
+            h, w,
+        )
+        got_rgb = [np.asarray(o) for o in outs[:3]]
+        got_stats = np.asarray(outs[3]).reshape(-1, 8, 128)[:, :, 0]
+
+        # mirror on bf16-rounded channels (the kernel's resident dtype)
+        cb = np.asarray(chans.astype(jnp.bfloat16).astype(jnp.float32))
+        planes = [pack(map_coordinates(jnp.asarray(c), [av, bu], order=1,
+                                       mode="nearest")) for c in cb]
+        okp = pack(ok)
+        planes = [jnp.where(okp > 0, p, 0.0) for p in planes]
+        want_stats = np.asarray(w2.stats_from_packed(
+            planes[:3], planes[3], jnp.zeros_like(okp), okp,
+            pack(jnp.asarray(box)),
+        )).reshape(-1, 8, 128)[:, :, 0]
+
+        for c in range(3):
+            assert np.abs(got_rgb[c] - np.asarray(planes[c])).max() < 2e-2
+        # counts exact; sums within the bf16 resample band
+        assert (got_stats[:, w2.STAT_EXT] == want_stats[:, w2.STAT_EXT]).all()
+        assert (got_stats[:, w2.STAT_OVF] == 0).all()
+        for row in (w2.STAT_CURV, w2.STAT_EDGE, w2.STAT_PEAK):
+            g, wv = got_stats[:, row], want_stats[:, row]
+            assert np.abs(g - wv).max() <= 0.02 * max(1.0, np.abs(wv).max()), row
+    finally:
+        monkeypatch.undo()
+        importlib.reload(w2)
+
+
 def test_warp_overflow_flag():
     """The MXU kernel flags hit pixels whose footprint exceeds the window
     (the hybrid re-marches those tiles); a window covering the footprint
@@ -349,6 +413,28 @@ def test_render_fast_aux_consistency():
     assert img[..., :3][(bad & 1) == 1].max(initial=0.0) == 0.0  # -> black
 
 
+def test_traced_degraded_flag():
+    """The functional hybrid API under an outer jit flags degenerate poses
+    (zoom-0.6 close-up: s_near collapse) and passes clean poses — the
+    traced mirror of pose_hint's scalar criteria (round-3 review: the
+    fallback ladder cannot run under a trace; the flag must)."""
+    import jax
+    from vokselis_tpu.core.camera import Camera
+    from vokselis_tpu.ops.shear_warp import pose_hint, traced_degenerate
+
+    d = 256
+    good = Camera.bonsai(1.0).uniform()
+    bad = Camera(zoom=0.6, pitch=1.2, yaw=0.0, target=(0.5, 0.5, 0.5),
+                 aspect=1.0).uniform()
+
+    flag = jax.jit(lambda u: traced_degenerate(u, d))
+    assert bool(flag(bad))
+    assert not bool(flag(good))
+    # agrees with the host-side classifier on these poses
+    assert pose_hint(bad, 256, 256, 256, d)[2]
+    assert not pose_hint(good, 256, 256, 256, d)[2]
+
+
 def test_hybrid_pose_escalation_ladder(monkeypatch):
     """Degenerate-at-512 poses retry the hint at I=768 before surrendering
     to the exact kernel; eye-in-range poses (degenerate at every I) fall
@@ -361,7 +447,7 @@ def test_hybrid_pose_escalation_ladder(monkeypatch):
                            srgb, dims, win, band_rows, nb, bstride,
                            max_steps, wwin=0, wwu=128, pair=False):
         calls["mode"] = ("hybrid", ii, wwin, wwu)
-        return "img", 0
+        return "img", 0, False
 
     def fake_exact(*a, **k):
         calls["mode"] = ("exact",)

@@ -35,7 +35,8 @@ W = H = 1024
 
 
 def main():
-    ii = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    args = [a for a in sys.argv[1:] if a != "-q"]
+    ii = int(args[0]) if args else 512
 
     from bench import slope_time
     from vokselis_tpu.core.camera import Camera, CameraUniform
@@ -54,6 +55,13 @@ def main():
         if aux is False:
             return _render_fast(pk, u, W, H, ii, True, warp_win=0,
                                 warp_wu=128)
+        if aux == "stats":
+            rgbp, statsp = _render_fast(
+                pk, u, W, H, ii, False, warp_win=0, warp_wu=128,
+                return_aux="stats")
+            merged = [_unpack_tiles(p, ph, pw)[:H, :W] for p in rgbp]
+            out = linear_to_srgb(jnp.stack(merged, axis=-1))
+            return out + 0.0 * statsp.sum()
         rgbp, okp, errdp, ovfp, hitp = _render_fast(
             pk, u, W, H, ii, False, warp_win=0, warp_wu=128,
             return_aux=aux)
@@ -67,8 +75,10 @@ def main():
 
     out = {"ii": ii,
            "adaptive": os.environ.get("VOK_WARP_ADAPTIVE", "1")}
-    for aux in (False, "packed-nocurv-noovf", "packed-nocurv",
-                "packed-noovf", "packed"):
+    variants = (False, "stats", "packed") if "-q" in sys.argv else (
+        False, "stats", "packed-nocurv-noovf", "packed-nocurv",
+        "packed-noovf", "packed")
+    for aux in variants:
         def build(n):
             def frames(pk, vp, pv, ip):
                 def body(i, acc):

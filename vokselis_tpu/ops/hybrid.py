@@ -44,10 +44,19 @@ from vokselis_tpu.ops.pallas.march_bonsai import (
     prepare_volume,
     render_bonsai_tiles_into,
 )
+from vokselis_tpu.ops.pallas.warp2d import (
+    STAT_CURV,
+    STAT_EDGE,
+    STAT_EXT,
+    STAT_OVF,
+    STAT_PEAK,
+    mxu_stats_eligible,
+)
 from vokselis_tpu.ops.shear_warp import (
     _render_fast,
     pose_hint,
     prepare_fast_volume,
+    traced_degenerate,
 )
 from vokselis_tpu.utils.grid import cdiv
 
@@ -136,13 +145,22 @@ def _render_hybrid(
     # never touch the unpacked frame, so the only full-frame relayout in
     # the hybrid is the single unpack at the end (round-2 pipeline paid 8
     # extra packs/unpacks; intercept decomposition, round 3).
-    # Contract (see _warp_to_screen): packed ok-masked linear rgb planes,
-    # the packed ok mask, the packed warped-curvature error density, the
-    # packed window-overflow flag, and the packed box-hit mask (extent
-    # exclusions = hit & ~ok, derived below without leaving the packing).
-    rgbp, okp, errdp, ovfp, hitp = _render_fast(
-        packs, camera_uniform, width, height, intermediate, False,
-        warp_win=warp_win, warp_wu=warp_wu, return_aux="packed")
+    # Contract (see _warp_to_screen): with the MXU stats warp eligible,
+    # the kernel reduces EVERY scoring ingredient to one per-tile stats
+    # plane in-kernel ("stats", round 4 — kills the measured ~1.0-1.4 ms
+    # aux tax + ~0.5 ms XLA scoring of the round-3 packed contract);
+    # otherwise the packed per-pixel contract: ok-masked linear rgb, the
+    # ok mask, warped-curvature density, overflow flags, box-hit mask.
+    use_stats = (jax.default_backend() != "tpu"
+                 or mxu_stats_eligible(intermediate))
+    if use_stats:
+        rgbp, statsp = _render_fast(
+            packs, camera_uniform, width, height, intermediate, False,
+            warp_win=warp_win, warp_wu=warp_wu, return_aux="stats")
+    else:
+        rgbp, okp, errdp, ovfp, hitp = _render_fast(
+            packs, camera_uniform, width, height, intermediate, False,
+            warp_win=warp_win, warp_wu=warp_wu, return_aux="packed")
     # tile grid over the PADDED frame so n_tiles (and the parked-id
     # sentinel) matches render_bonsai_tiles_into's cdiv-based count at
     # non-multiple-of-32 sizes (e.g. the 1280x720 default); padded pixels
@@ -160,8 +178,15 @@ def _render_hybrid(
         alpha = jnp.ones((height, width, 1), jnp.float32)
         return jnp.concatenate([out, alpha], axis=-1)
 
+    # traced pose-quality flag: TRUE when the shear-warp factorization is
+    # degenerate at this pose (eye in the slab range / s_near collapse) and
+    # the frame needs the exact kernel instead — computable under an outer
+    # jit where the host-side pose_hint ladder cannot run (round-3 review:
+    # functional-API fori loops silently rendered 5e-3 zoom-0.6 frames)
+    degraded = traced_degenerate(camera_uniform, dims)
+
     if budget == 0:  # pure fast frame: no tile scoring, no zero-grid call
-        return finish(rgbp), jnp.int32(0)
+        return finish(rgbp), jnp.int32(0), degraded
 
     # 2. per-tile score = warped reconstruction-error density (the
     # intermediate's curvature sampled at each pixel's own tap — a direct
@@ -170,40 +195,44 @@ def _render_hybrid(
     # transfer's local slope (gamma amplifies dark-region differences up
     # to 12.92x), plus a small within-tile contrast term for the
     # side-entry sample-phase error the curvature field cannot see.
-    rp, gp, bp = rgbp
-    lum = jnp.maximum((rp + gp + bp) * (1.0 / 3.0), 1e-6)
-    srgb_slope = jnp.where(
-        lum > 0.0031308, (1.055 / 2.4) * lum ** (1.0 / 2.4 - 1.0), 12.92
-    )
-    lums = (linear_to_srgb(jnp.maximum(rp, 0.0))
-            + linear_to_srgb(jnp.maximum(gp, 0.0))
-            + linear_to_srgb(jnp.maximum(bp, 0.0))) * (1.0 / 3.0)
-    edge = _packed_edge(lums)
+    # Degraded-pixel channels (extent exclusions and window overflows)
+    # rank CONTINUOUSLY, weighted by the dilated neighborhood's peak
+    # luminance (a degraded pixel only differs from the exact march near
+    # actual content) — a hard 1e3 boost lets content-free degraded tiles
+    # soak the whole budget (offline score lab, round 3: worst-pose
+    # budget for 8e-4 fell 138 -> 66 vs the oracle ranking's 59).
+    inv_px = 1.0 / (8 * 128)
+    if use_stats:
+        # the warp kernel already reduced every ingredient per tile
+        st = statsp.reshape(n_tiles, 8, 128)[:, :, 0]  # (n_tiles, 8)
+        scores = (st[:, STAT_CURV] + 0.03 * st[:, STAT_EDGE]) * inv_px
+        tile_peak = _dilate3(st[:, STAT_PEAK].reshape(ny, nx))
+        degr = ((st[:, STAT_EXT] + 4.0 * st[:, STAT_OVF]) * inv_px)
+        scores = scores + (degr.reshape(ny, nx) * tile_peak).reshape(-1)
+    else:
+        rp, gp, bp = rgbp
+        lum = jnp.maximum((rp + gp + bp) * (1.0 / 3.0), 1e-6)
+        srgb_slope = jnp.where(
+            lum > 0.0031308, (1.055 / 2.4) * lum ** (1.0 / 2.4 - 1.0), 12.92
+        )
+        lums = (linear_to_srgb(jnp.maximum(rp, 0.0))
+                + linear_to_srgb(jnp.maximum(gp, 0.0))
+                + linear_to_srgb(jnp.maximum(bp, 0.0))) * (1.0 / 3.0)
+        edge = _packed_edge(lums)
 
-    def ptile_mean(x):
-        # (n_tiles*8, 128) -> (n_tiles, 8, 128) is a free leading-dim
-        # split; reducing both trailing axes needs no relayout (reshaping
-        # to (n_tiles, 1024) instead forces the 8 sublanes into lanes — a
-        # full-frame relayout per scoring plane)
-        return x.reshape(n_tiles, 8, 128).mean(axis=(1, 2))
+        def ptile_mean(x):
+            # (n_tiles*8, 128) -> (n_tiles, 8, 128) is a free leading-dim
+            # split; reducing both trailing axes needs no relayout
+            return x.reshape(n_tiles, 8, 128).mean(axis=(1, 2))
 
-    scores = ptile_mean(errdp * srgb_slope) + 0.03 * ptile_mean(edge)
-    # Degraded-pixel channels: extent exclusions (black-rendered hit
-    # rays; mostly empty-space rays that are black in the exact march
-    # too) and window overflows (edge-clamped taps). Both rank
-    # CONTINUOUSLY, weighted by the neighborhood's peak luminance (a
-    # degraded pixel only differs from the exact march near actual
-    # content) — a hard 1e3 boost lets content-free degraded tiles soak
-    # the whole budget (offline score lab, round 3: worst-pose budget for
-    # 8e-4 fell 138 -> 66 vs the oracle ranking's 59; hard-boosting
-    # overflow tiles alone still measured 105-115).
-    ext_frac = ptile_mean(hitp * (1.0 - okp)).reshape(ny, nx)
-    ovf_frac = ptile_mean(okp * ovfp).reshape(ny, nx)
-    tile_peak = (lums.reshape(n_tiles, 8, 128).max(axis=(1, 2))
-                 .reshape(ny, nx))
-    # content proximity: a tile's own peak or any 8-neighbor's peak
-    tile_peak = _dilate3(tile_peak)
-    scores = scores + ((ext_frac + 4.0 * ovf_frac) * tile_peak).reshape(-1)
+        scores = ptile_mean(errdp * srgb_slope) + 0.03 * ptile_mean(edge)
+        ext_frac = ptile_mean(hitp * (1.0 - okp)).reshape(ny, nx)
+        ovf_frac = ptile_mean(okp * ovfp).reshape(ny, nx)
+        tile_peak = (lums.reshape(n_tiles, 8, 128).max(axis=(1, 2))
+                     .reshape(ny, nx))
+        # content proximity: a tile's own peak or any 8-neighbor's peak
+        tile_peak = _dilate3(tile_peak)
+        scores = scores + ((ext_frac + 4.0 * ovf_frac) * tile_peak).reshape(-1)
 
     # selection granularity: with ``pair`` the re-march fuses two
     # horizontally-adjacent tiles per grid step (the full-frame kernel's
@@ -232,7 +261,7 @@ def _render_hybrid(
         layouts, base, camera_uniform, ids, width, height, dims, max_steps,
         win_rows, band_rows, nb, bstride, tiles_per_step=tps_r,
     )
-    return finish([p[:-8 * tps_r] for p in planes[:3]]), ovf
+    return finish([p[:-8 * tps_r] for p in planes[:3]]), ovf, degraded
 
 
 class HybridBonsaiRenderer:
@@ -302,7 +331,7 @@ class HybridBonsaiRenderer:
         pair = _pair_mode(self.dims, width, height, self.win_cap)
         win = min(auto_win_rows(self.dims, width, height, 2 if pair else 1),
                   self.win_cap)
-        img, ovf = _render_hybrid(
+        img, ovf, _deg = _render_hybrid(
             self.packs, self.layouts, camera_uniform,
             jnp.float32(self.thresh), width, height, ii,
             self.budget if budget is None else budget, srgb, self.dims, win,
@@ -318,24 +347,31 @@ class HybridBonsaiRenderer:
         ARGUMENTS. Calling ``_call_traced`` under an outer trace instead
         closes over ~100 MB of layouts as HLO constants, which this
         environment's HTTP remote-compile hop rejects outright (413).
-        The degenerate-pose fallback cannot run under a trace — pin a
-        concrete ``hint`` from pose_hint at a representative pose."""
+        The degenerate-pose EXACT fallback cannot run under a trace — pin
+        a concrete ``hint`` from pose_hint at a representative pose, or
+        pass ``with_degraded=True`` to also receive the TRACED
+        ``degraded`` flag (ops.shear_warp.traced_degenerate): True marks
+        frames whose pose breaks the shear-warp factorization (eye in the
+        slab range / s_near close-up) — consume it (re-render exact, or
+        discard) instead of trusting the pixels."""
         pack = (self.packs, self.layouts)
 
         def render(pk, camera_uniform, width, height, hint=None,
-                   max_steps=MAX_STEPS_BONSAI, srgb=True, budget=None):
+                   max_steps=MAX_STEPS_BONSAI, srgb=True, budget=None,
+                   with_degraded=False):
             packs, layouts = pk
             wwin, wwu = (0, 128) if hint is None else (hint[0], hint[1])
             pair = _pair_mode(self.dims, width, height, self.win_cap)
             win = min(auto_win_rows(self.dims, width, height,
                                     2 if pair else 1), self.win_cap)
-            return _render_hybrid(
+            out = _render_hybrid(
                 packs, layouts, camera_uniform, jnp.float32(self.thresh),
                 width, height, self.intermediate,
                 self.budget if budget is None else budget, srgb, self.dims,
                 win, self.band_rows, self.nb, self.bstride, max_steps,
                 wwin, wwu, pair,
             )
+            return out if with_degraded else out[:2]
 
         return render, pack
 
@@ -373,7 +409,7 @@ def build_hybrid_renderer(vol_u8, intermediate: int = 512,
         pair = _pair_mode(r.dims, width, height, r.win_cap)
         win = min(auto_win_rows(r.dims, width, height, 2 if pair else 1),
                   r.win_cap)
-        img, _ovf = _render_hybrid(
+        img, _ovf, _deg = _render_hybrid(
             packs, layouts, camera_uniform, jnp.float32(thresh),
             width, height, intermediate, budget, srgb,
             r.dims, win, r.band_rows, r.nb, r.bstride, max_steps,

@@ -444,9 +444,13 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
 
     # "packed" variants "packed-nocurv"/"packed-noovf"/"packed-nocurv-noovf"
     # drop the curvature channel / overflow plane (zeros instead) — cost
-    # ablation knobs for tools/aux_tax_probe.py, not production modes
+    # ablation knobs for tools/aux_tax_probe.py, not production modes.
+    # "stats" is the round-4 hybrid contract: the warp kernel reduces the
+    # whole per-pixel aux story to one per-tile stats plane in-kernel.
     aux_packed = isinstance(return_aux, str) and return_aux.startswith("packed")
-    want_curv = return_aux is True or (aux_packed and "nocurv" not in return_aux)
+    aux_stats = return_aux == "stats"
+    want_curv = (return_aux is True or aux_stats
+                 or (aux_packed and "nocurv" not in return_aux))
     want_ovf = return_aux is True or (aux_packed and "noovf" not in return_aux)
     chans = [r, g, b]
     if want_curv:
@@ -464,6 +468,48 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
             return d2v + d2u
 
         chans.append(curv(r) + curv(g) + curv(b))
+
+    if aux_stats:
+        # STATS contract (hybrid, round 4): ok-masked packed rgb + ONE
+        # per-tile stats plane; curvature riding as the 4th warp channel
+        # reduces in-kernel (warp2d._warp_kernel_mxu_stats) — no errd/ovf
+        # planes, no ok/hit planes returned, no XLA scoring passes.
+        from vokselis_tpu.ops.pallas.march_bonsai import _pack_tiles
+        from vokselis_tpu.ops.pallas.warp2d import (
+            mxu_stats_eligible,
+            stats_from_packed,
+            warp_stats_packed,
+        )
+        from vokselis_tpu.utils.grid import cdiv as _cdiv
+
+        ph = _cdiv(height, 32) * 32
+        pw = _cdiv(width, 32) * 32
+
+        def pack(x):
+            return _pack_tiles(
+                jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
+            )
+
+        okp = pack(ok.astype(jnp.float32))
+        boxp = pack(hit.astype(jnp.float32))
+        if jax.default_backend() == "tpu" and mxu_stats_eligible(ii):
+            outs = warp_stats_packed(
+                jnp.stack(chans, 0), pack(av), pack(bu), okp, boxp,
+                height, width,
+            )
+        else:
+            # CPU tests/minisweep (and, correct-but-slow, an ineligible
+            # intermediate): exact sampling + the XLA stats mirror
+            from jax.scipy.ndimage import map_coordinates
+
+            planes = [pack(map_coordinates(c, [av, bu], order=1,
+                                           mode="constant", cval=0.0))
+                      for c in chans]
+            planes = [jnp.where(okp > 0.0, p, 0.0) for p in planes]
+            stats = stats_from_packed(planes[:3], planes[3],
+                                      jnp.zeros_like(okp), okp, boxp)
+            outs = planes[:3] + [stats]
+        return tuple(outs[:3]), outs[3]
 
     if aux_packed:
         # PACKED aux contract for the hybrid renderer: everything the
@@ -568,6 +614,40 @@ def _warp_bilinear(chans, av, bu, hit=None, win_rows=0, win_u=128,
     if with_overflow:
         return planes, jnp.zeros(av.shape, jnp.float32)
     return planes
+
+
+def traced_degenerate(camera_uniform, d: int):
+    """TRACED mirror of pose_hint's scalar degeneracy criteria: (a) the
+    eye inside/near the slab range along the dominant axis (the s(k)
+    homothety divisor crosses ~zero) and (b) nearest-slab scale collapse
+    (s_near < 0.25 — close-up poses whose near slabs the intermediate
+    under-resolves >= 4x, surfacing banding the re-march budget cannot
+    cover). Pure scalar math on the camera uniform, so it runs under an
+    outer jit where the host-side pose_hint cannot — the hybrid's
+    functional API returns it as a ``degraded`` flag (round-3 review: a
+    traced fori loop at zoom 0.6 silently rendered 5e-3 frames).
+
+    pose_hint's third criterion (median tile span < 12, magnification)
+    needs the coarse ray-grid statistics; it is intermediate-dependent
+    and NOT mirrored here — concrete-pose callers get it from pose_hint."""
+    inv = camera_uniform.inv_proj
+    n = geometry.mat4_apply(inv, jnp.float32(0.0), jnp.float32(0.0),
+                            jnp.float32(0.0))
+    f = geometry.mat4_apply(inv, jnp.float32(0.0), jnp.float32(0.0),
+                            jnp.float32(1.0))
+    fwd = jnp.stack([f[i] / f[3] - n[i] / n[3] for i in range(3)])
+    eye = camera_uniform.view_position[:3]
+    fd = float(d)
+    e_t = eye * fd - 0.5
+    em = e_t[jnp.argmax(jnp.abs(fwd))]
+    z_ref = (fd - 1.0) / 2.0
+    denom_raw = z_ref - em
+    degen_eye = jnp.abs(denom_raw) <= (fd - 1.0) / 2.0 + 8.0
+    den = jnp.where(jnp.abs(denom_raw) < 1.0,
+                    jnp.where(denom_raw >= 0, 1.0, -1.0), denom_raw)
+    s_near = jnp.minimum(jnp.abs((0.5 - em) / den),
+                         jnp.abs((fd - 1.5 - em) / den))
+    return degen_eye | (s_near < 0.25)
 
 
 _HINT_CACHE: dict = {}
