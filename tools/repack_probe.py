@@ -47,7 +47,8 @@ def main():
         jnp.float32(0.0), d)
     vol0.block_until_ready()
 
-    def transposes(vol):
+    def transposes_gather(vol):
+        # round-3 construction: clipped arithmetic-progression gather
         base = {
             0: jnp.transpose(vol, (2, 0, 1)),
             1: jnp.transpose(vol, (1, 0, 2)),
@@ -61,6 +62,31 @@ def main():
             for s in (1, -1):
                 lay = base[m] if s > 0 else base[m][::-1]
                 stacks.append(lay[idx])
+        return jnp.stack(stacks).reshape(-1, CHUNK + 1, d, d)
+
+    def transposes(vol):
+        # round-4 construction: pad-once + static slices (the shipped
+        # prepare_volume_device window builder)
+        base = {
+            0: jnp.transpose(vol, (2, 0, 1)),
+            1: jnp.transpose(vol, (1, 0, 2)),
+            2: vol,
+        }
+        pad_back = n_chunks * CHUNK - d
+
+        def windows(lay):
+            layp = jnp.concatenate(
+                [lay[:1], lay,
+                 jnp.broadcast_to(lay[-1:], (pad_back, d, d))])
+            body = layp[: n_chunks * CHUNK].reshape(n_chunks, CHUNK, d, d)
+            tail = layp[CHUNK :: CHUNK][:n_chunks]
+            return jnp.concatenate([body, tail[:, None]], axis=1)
+
+        stacks = []
+        for m in range(3):
+            for s in (1, -1):
+                lay = base[m] if s > 0 else base[m][::-1]
+                stacks.append(windows(lay))
         return jnp.stack(stacks).reshape(-1, CHUNK + 1, d, d)
 
     chunks0 = jax.jit(transposes)(vol0)
@@ -106,6 +132,9 @@ def main():
 
     rec("genvol", lambda eps, t: generate_density_u8_pallas(
         t + eps, d).astype(jnp.float32)[0, 0, 0], jnp.float32(0.3))
+    rec("transpose_gather", lambda eps, v: transposes_gather(
+        (v.astype(jnp.float32) + eps).astype(jnp.uint8)
+    ).astype(jnp.float32)[0, 0, 0, 0], vol0)
     rec("transpose", lambda eps, v: transposes(
         (v.astype(jnp.float32) + eps).astype(jnp.uint8)
     ).astype(jnp.float32)[0, 0, 0, 0], vol0)

@@ -725,17 +725,31 @@ def prepare_volume_device(vol_u8, max_win_rows: int = WIN_V,
         1: jnp.transpose(vol_u8, (1, 0, 2)),
         2: vol_u8,
     }
-    idx = jnp.clip(
-        (jnp.arange(n_chunks)[:, None] * CHUNK - 1)
-        + jnp.arange(CHUNK + 1)[None, :],
-        0,
-        d - 1,
-    )
+
+    # chunks[c, j] = lay[clip(c*CHUNK - 1 + j, 0, d-1)] — the host builder's
+    # clipped arithmetic-progression gather. On device that gather
+    # materializes ~d^3*(1+1/CHUNK) bytes per class through a gather HLO;
+    # the identical tensor falls out of STATIC slices of a once-padded
+    # layout: layp = [lay[0], lay, lay[-1]*pad] so layp[i] =
+    # lay[clip(i-1, 0, d-1)], then rows j<CHUNK are a plain reshape of
+    # layp[:n_chunks*CHUNK] and row j=CHUNK is a stride-CHUNK slice
+    # (chunk c's last slab == chunk c+1's first). tools/repack_probe.py
+    # measures the stage split.
+    pad_back = n_chunks * CHUNK - d
+
+    def windows(lay):
+        layp = jnp.concatenate(
+            [lay[:1], lay,
+             jnp.broadcast_to(lay[-1:], (pad_back, d, d))])
+        body = layp[: n_chunks * CHUNK].reshape(n_chunks, CHUNK, d, d)
+        tail = layp[CHUNK :: CHUNK][:n_chunks]
+        return jnp.concatenate([body, tail[:, None]], axis=1)
+
     stacks = []
     for m in range(3):
         for s in (1, -1):
             lay = base[m] if s > 0 else base[m][::-1]
-            stacks.append(lay[idx])
+            stacks.append(windows(lay))
     chunks = jnp.stack(stacks).reshape(-1, CHUNK + 1, d, d)
 
     pairs = chunks[:, :CHUNK].astype(jnp.uint16) | (
