@@ -463,6 +463,7 @@ def test_hybrid_pose_escalation_ladder(monkeypatch):
     r.dims, r.band_rows, r.nb, r.bstride = 32, 80, 1, 16
     r.win_cap = 64
     r.intermediate, r.budget, r.thresh = 512, 8, 0.0
+    r.dense_fallback = False
 
     monkeypatch.setattr(hy, "_render_hybrid", fake_render_hybrid)
     monkeypatch.setattr(hy, "_render_bonsai_pallas", fake_exact)
@@ -498,3 +499,41 @@ def test_hybrid_pose_escalation_ladder(monkeypatch):
     hints = {512: (128, 256, False)}
     r._call_traced(None, 64, 64)
     assert calls["mode"] == ("hybrid", 512, 0, 128)
+
+
+def test_dense_volume_routes_to_exact(monkeypatch):
+    """Volumes whose occupied fraction exceeds DENSE_OCC_FRAC break the
+    hybrid's concentrated-error model (dense_stress fog measured 3.6e-3
+    at budget 64, tools/dense_stress_probe) — the renderer must route
+    every pose to the exact kernel at prep time, through BOTH the method
+    and the functional APIs."""
+    import vokselis_tpu.ops.hybrid as hy
+    from vokselis_tpu.volume.io import dense_stress, get_bonsai
+
+    calls = {}
+
+    def fake_exact(*a, **k):
+        calls["mode"] = "exact"
+        return "img", 0
+
+    def fake_render_hybrid(*a, **k):
+        calls["mode"] = "hybrid"
+        return "img", 0, False
+
+    monkeypatch.setattr(hy, "_render_bonsai_pallas", fake_exact)
+    monkeypatch.setattr(hy, "_render_hybrid", fake_render_hybrid)
+
+    dense = hy.HybridBonsaiRenderer(dense_stress(64), budget=8)
+    assert dense.dense_fallback and dense.occ_frac > hy.DENSE_OCC_FRAC
+    dense._call_traced(None, 64, 64)
+    assert calls["mode"] == "exact"
+
+    render, pack = dense.functional()
+    out = render(pack, None, 64, 64, with_degraded=True)
+    assert calls["mode"] == "exact" and out[2] == False  # noqa: E712
+
+    # the real bonsai stays on the hybrid path (occ_frac ~0.05)
+    sparse = hy.HybridBonsaiRenderer(get_bonsai(64), budget=8)
+    assert not sparse.dense_fallback
+    sparse._call_traced(None, 64, 64, hint=(0, 128, False))
+    assert calls["mode"] == "hybrid"

@@ -66,6 +66,18 @@ from vokselis_tpu.utils.grid import cdiv
 DEFAULT_THRESH = 1e-3
 DEFAULT_BUDGET = 128
 
+# Volume-density fallback (VERDICT round-3 #4, measured round 4 on
+# volume/io.dense_stress's 50%-occupancy fog, tools/dense_stress_probe):
+# the hybrid's error model assumes the fast frame's error CONCENTRATES on
+# a small set of silhouette tiles, but on dense fog it is DIFFUSE —
+# hybrid budget=64 measured 3.6e-3 (bench pose) / 6.2e-3 (z1.0-axis) vs
+# the exact kernel, and no budget fixes a diffuse field (the exact kernel
+# itself runs 57.9 ms there). Volumes whose occupied-voxel fraction
+# (density > shear_resample.OCC_EPS) exceeds this cutoff route every
+# frame to the exact kernel at PREP time: bonsai measures 0.054, the fog
+# 0.41 — the cutoff sits far from both.
+DENSE_OCC_FRAC = 0.25
+
 # A/B switch for the pair-fused re-march (VOK_HYBRID_PAIR=0 to disable)
 _PAIR = os.environ.get("VOK_HYBRID_PAIR", "1") == "1"
 
@@ -282,6 +294,14 @@ class HybridBonsaiRenderer:
         self.budget = budget
         self.thresh = thresh
         self.last_overflow = 0
+        # dense volumes break the concentrated-error model (see
+        # DENSE_OCC_FRAC): route every pose to the exact kernel
+        from vokselis_tpu.ops.pallas.shear_resample import OCC_EPS
+
+        self.occ_frac = float(
+            (vol_u8.astype(np.float32) / 255.0 > OCC_EPS).mean()
+        )
+        self.dense_fallback = self.occ_frac > DENSE_OCC_FRAC
 
     def _call_traced(self, camera_uniform, width: int = 1280,
                      height: int = 720, max_steps: int = MAX_STEPS_BONSAI,
@@ -296,6 +316,16 @@ class HybridBonsaiRenderer:
         concrete — under an outer trace the fast path is used as-is unless
         the caller pins a concrete ``hint=(warp_win, warp_wu, degenerate)``
         (e.g. a frame loop jitted around a known pose)."""
+        if self.dense_fallback:
+            tps = pick_tiles_per_step(self.dims, width, height,
+                                      cap=self.win_cap)
+            ewin = min(auto_win_rows(self.dims, width, height, tps),
+                       self.win_cap)
+            return _render_bonsai_pallas(
+                self.layouts, camera_uniform, width, height, self.dims,
+                max_steps, srgb, ewin, self.band_rows, self.nb,
+                self.bstride, tps,
+            )
         wwin, wwu, degen = (hint if hint is not None else
                             pose_hint(camera_uniform, width, height,
                                       self.intermediate, self.dims))
@@ -356,6 +386,30 @@ class HybridBonsaiRenderer:
         discard) instead of trusting the pixels."""
         pack = (self.packs, self.layouts)
 
+        if self.dense_fallback:
+            # volume density is a PREP-time property: the functional
+            # renderer for a dense volume IS the exact kernel (same
+            # signature; degraded flag is constant False — frames are
+            # exact by construction)
+            def render_exact(pk, camera_uniform, width, height, hint=None,
+                             max_steps=MAX_STEPS_BONSAI, srgb=True,
+                             budget=None, with_degraded=False):
+                _packs, layouts = pk
+                tps = pick_tiles_per_step(self.dims, width, height,
+                                          cap=self.win_cap)
+                ewin = min(auto_win_rows(self.dims, width, height, tps),
+                           self.win_cap)
+                img, ovf = _render_bonsai_pallas(
+                    layouts, camera_uniform, width, height, self.dims,
+                    max_steps, srgb, ewin, self.band_rows, self.nb,
+                    self.bstride, tps,
+                )
+                if with_degraded:
+                    return img, ovf, jnp.bool_(False)
+                return img, ovf
+
+            return render_exact, pack
+
         def render(pk, camera_uniform, width, height, hint=None,
                    max_steps=MAX_STEPS_BONSAI, srgb=True, budget=None,
                    with_degraded=False):
@@ -401,6 +455,17 @@ def build_hybrid_renderer(vol_u8, intermediate: int = 512,
     escalates/falls back automatically."""
     r = HybridBonsaiRenderer(vol_u8, intermediate, budget, thresh, win_cap)
     pack = (r.packs, r.layouts)
+
+    if r.dense_fallback:
+        render_exact, pack = r.functional()
+
+        def render(pk, camera_uniform, width, height,
+                   max_steps=MAX_STEPS_BONSAI, srgb=True, hint=None):
+            img, _ovf = render_exact(pk, camera_uniform, width, height,
+                                     max_steps=max_steps, srgb=srgb)
+            return img
+
+        return render, pack
 
     def render(pk, camera_uniform, width, height,
                max_steps=MAX_STEPS_BONSAI, srgb=True, hint=None):
