@@ -21,6 +21,25 @@ reference at /root/reference) as an idiomatic JAX engine:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: kernels here compile remotely for minutes
+# (hybrid single-frame ~240 s) and the cache is per-process without it —
+# every tool restart / tunnel death repaid the full compile. Probed on the
+# axon TPU backend (round 4): second-process hits load in ~40 ms. Opt out
+# with VOK_NO_COMPILE_CACHE=1 (or point VOK_COMPILE_CACHE elsewhere).
+if _os.environ.get("VOK_NO_COMPILE_CACHE", "0") != "1":
+    _cache_dir = _os.environ.get("VOK_COMPILE_CACHE",
+                                 _os.path.expanduser("~/.jax_cache"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
 from vokselis_tpu.core.camera import Camera, CameraUniform
 from vokselis_tpu.core.uniforms import GlobalUniform
 from vokselis_tpu.core.config import RenderConfig
