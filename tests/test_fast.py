@@ -435,6 +435,33 @@ def test_traced_degraded_flag():
     assert not pose_hint(good, 256, 256, 256, d)[2]
 
 
+def test_select_units_pair_semantics():
+    """Pair selection ranks by SUMMED member scores (greedy per-pose
+    mean-error reduction — the sweep gate is per-pose mean) but gates on
+    the WORST member; below-thresh picks park at the n_units sentinel."""
+    import jax.numpy as jnp
+    from vokselis_tpu.ops.hybrid import select_units
+
+    # 8 tiles -> 4 pairs. Pair sums: p0=1.0, p1=0.9, p2=0.05, p3=0.6
+    # Pair maxes: p0=0.9, p1=0.5, p2=0.04, p3=0.6
+    scores = jnp.array([0.9, 0.1, 0.5, 0.4, 0.04, 0.01, 0.6, 0.0])
+    ids = np.asarray(select_units(scores, 8, budget=4, thresh=0.05,
+                                  pair=True))
+    # budget 4 tiles = 2 pairs: sum-ranking picks p0 (1.0) and p1 (0.9);
+    # max-ranking would have picked p0 and p3 (0.6 > 0.5)
+    assert set(ids.tolist()) == {0, 1}
+    # a pair whose WORST member is below thresh parks at the sentinel
+    # even when budget covers it: p2 (max 0.04 < thresh)
+    ids = np.asarray(select_units(scores, 8, budget=8, thresh=0.05,
+                                  pair=True))
+    assert 2 not in ids.tolist() and 4 in ids.tolist()  # 4 == sentinel
+
+    # single-tile mode: plain top-k with per-tile thresh parking at 8
+    ids = np.asarray(select_units(scores, 8, budget=3, thresh=0.45,
+                                  pair=False))
+    assert set(ids.tolist()) == {0, 6, 2}
+
+
 def test_hybrid_pose_escalation_ladder(monkeypatch):
     """Degenerate-at-512 poses retry the hint at I=768 before surrendering
     to the exact kernel; eye-in-range poses (degenerate at every I) fall

@@ -81,6 +81,16 @@ DENSE_OCC_FRAC = 0.25
 # A/B switch for the pair-fused re-march (VOK_HYBRID_PAIR=0 to disable)
 _PAIR = os.environ.get("VOK_HYBRID_PAIR", "1") == "1"
 
+# Pair RANKING objective (VOK_PAIR_RANK=max for the old behavior). The
+# sweep/bench gate is per-pose MEAN error, and pair scores are per-tile
+# mean-error estimates, so greedy mean-error reduction ranks pairs by the
+# SUM of member scores — worst-member ranking spends half of every pair's
+# budget on whatever tile happens to sit next to a bad one. Measured
+# round 4 (tools/pair_rank_probe, budget 64 / I=512, bench + the sweep's
+# 3 worst poses): sum beats max on all four (bench 6.61e-4 -> 6.17e-4;
+# worst pose 1.246e-3 -> 1.146e-3) — a uniform but small win.
+_PAIR_RANK_SUM = os.environ.get("VOK_PAIR_RANK", "sum") == "sum"
+
 
 def _pair_mode(dims: int, width: int, height: int, cap: int) -> bool:
     """True when the re-march should fuse tile pairs: even tile row width
@@ -89,6 +99,36 @@ def _pair_mode(dims: int, width: int, height: int, cap: int) -> bool:
     fusion, pick_tiles_per_step)."""
     return (_PAIR and cdiv(width, TILE) % 2 == 0
             and pick_tiles_per_step(dims, width, height, cap) == 2)
+
+
+def select_units(scores, n_tiles: int, budget: int, thresh: float,
+                 pair: bool):
+    """Pick the re-march unit ids from per-tile scores (traced math).
+
+    Single-tile mode: top ``budget`` tiles above ``thresh``; below-thresh
+    picks park at the ``n_tiles`` sentinel (the kernel's pad row-block).
+
+    Pair mode (ids index PAIRS of raster-consecutive tiles): rank by the
+    SUM of member scores — the sweep/bench gate is per-pose MEAN error
+    and pair scores are per-tile mean-error estimates, so greedy
+    mean-error reduction per grid step ranks pairs by their summed
+    members; worst-member ranking spends half of every pair's budget on
+    whatever tile sits next to a bad one (VOK_PAIR_RANK=max restores it).
+    The threshold still gates on the WORST member so a pair with one
+    above-thresh tile qualifies; parked sentinel is ``n_tiles // 2``.
+    """
+    if pair:
+        n_units = n_tiles // 2
+        budget_u = min(cdiv(budget, 2), n_units)
+        pair_scores = scores.reshape(n_units, 2)
+        rank = pair_scores.sum(axis=1) if _PAIR_RANK_SUM \
+            else pair_scores.max(axis=1)
+        _, ids = jax.lax.top_k(rank, budget_u)
+        gate = pair_scores.max(axis=1)[ids]
+        return jnp.where(gate > thresh, ids, n_units)
+    budget = min(budget, n_tiles)  # small frames: top_k k must fit
+    vals, ids = jax.lax.top_k(scores, budget)
+    return jnp.where(vals > thresh, ids, n_tiles)
 
 
 def _dilate3(t):
@@ -249,19 +289,10 @@ def _render_hybrid(
     # selection granularity: with ``pair`` the re-march fuses two
     # horizontally-adjacent tiles per grid step (the full-frame kernel's
     # tps=2 trick — per-step scalar machinery, band DMAs and window
-    # conversion amortize over both tiles), so selection runs over PAIRS
-    # ranked by their worst member; budget stays counted in TILES.
+    # conversion amortize over both tiles), so selection runs over PAIRS;
+    # budget stays counted in TILES.
     tps_r = 2 if pair else 1
-    if pair:
-        n_units = n_tiles // 2
-        budget_u = min(cdiv(budget, 2), n_units)
-        vals, ids = jax.lax.top_k(scores.reshape(n_units, 2).max(axis=1),
-                                  budget_u)
-        ids = jnp.where(vals > thresh, ids, n_units)  # park below-thresh
-    else:
-        budget = min(budget, n_tiles)  # small frames: top_k k must fit
-        vals, ids = jax.lax.top_k(scores, budget)
-        ids = jnp.where(vals > thresh, ids, n_tiles)
+    ids = select_units(scores, n_tiles, budget, thresh, pair)
 
     # 3. exact re-march of the selected tiles, written IN PLACE over the
     # packed fast planes via Pallas output aliasing (an XLA scatter here

@@ -59,8 +59,13 @@ def _composite_kernel(
 
     def group(gi, carry):
         def run(carry):
+            # NOTE (round 4, measured-and-rejected): a 4x inner unroll with
+            # a fused any-occupied gate measured NO win (compos stage
+            # medians 1.2 vs 1.2 ms across 3 serial A/B reps, swings +-0.2)
+            # and HUNG intermittently on this backend (twice, cached
+            # kernels, no conditional DMA involved) — keep the plain
+            # per-slab dynamic loop.
             def body(q, carry):
-                r, g, b, a = carry
                 t = gi * CHECK_EVERY + q
                 idx = jnp.where(sgn > 0, t, gp - 1 - t)
                 # occ tables are per row-block, slab-major
