@@ -361,6 +361,7 @@ class HybridBonsaiRenderer:
                             pose_hint(camera_uniform, width, height,
                                       self.intermediate, self.dims))
         ii = self.intermediate
+        escalated = False
         if degen and hint is None:
             # magnification-degenerate poses may become representable at a
             # larger intermediate (the bf16-resident MXU warp fits I=768):
@@ -371,6 +372,7 @@ class HybridBonsaiRenderer:
                                        ii_up, self.dims)
                 if not d2:
                     wwin, wwu, degen, ii = w2, u2, False, ii_up
+                    escalated = True
                     break
         from vokselis_tpu.ops.pallas.warp2d import mxu_adaptive_eligible
 
@@ -392,10 +394,22 @@ class HybridBonsaiRenderer:
         pair = _pair_mode(self.dims, width, height, self.win_cap)
         win = min(auto_win_rows(self.dims, width, height, 2 if pair else 1),
                   self.win_cap)
+        b = self.budget if budget is None else budget
+        if escalated:
+            # escalation poses are intrinsically harder (close-up
+            # magnification): measured at budget 64 / I=768 they sit at
+            # 1.1-1.25e-3 with the pair-fused re-march (the pair
+            # granularity spends ~1/3 of the budget on low-score partners
+            # — tools/pair_tradeoff_probe, round 4) while every
+            # non-escalated pose clears <=1e-3. +50% budget on exactly
+            # these poses restores the sweep-wide contract without
+            # touching the bench-pose op point; they already pay a
+            # separate jit variant for I=768, so no new variant cost.
+            b = b + (b + 1) // 2
         img, ovf, _deg = _render_hybrid(
             self.packs, self.layouts, camera_uniform,
             jnp.float32(self.thresh), width, height, ii,
-            self.budget if budget is None else budget, srgb, self.dims, win,
+            b, srgb, self.dims, win,
             self.band_rows, self.nb, self.bstride, max_steps,
             wwin, wwu, pair,
         )
