@@ -413,7 +413,7 @@ def test_tiles_into_merges_over_base():
     n_tiles = 4
     base = tuple(
         jnp.full(((n_tiles + 1) * 8, 128), 7.0 + ch, jnp.float32)
-        for ch in range(4)
+        for ch in range(3)
     )
     ids = jnp.asarray([2, 1, 4], jnp.int32)  # 4 = padded (pad tile)
     planes, ovf = mb.render_bonsai_tiles_into(
@@ -455,7 +455,7 @@ def test_tiles_into_pairs_matches_full_march():
     n_tiles = 8
     base = tuple(
         jnp.full(((n_tiles + 2) * 8, 128), 7.0 + ch, jnp.float32)
-        for ch in range(4)
+        for ch in range(3)
     )
     ids = jnp.asarray([2, 1, 4], jnp.int32)  # pairs; 4 = parked
     planes, ovf = mb.render_bonsai_tiles_into(

@@ -94,6 +94,48 @@ def rays_fragment(camera_uniform, width: int, height: int):
     return eye, d
 
 
+def packed_pixel_grid(width: int, height: int):
+    """Integer pixel coordinates of the FULL frame in the kernels' packed
+    (n_tiles*8, 128) tile layout (ops.pallas.march_bonsai._pack_tiles:
+    packed element (s, l) of tile s//8 is image row (s%8)*4 + l//32, col
+    l%32 of that 32x32 tile). Emitting per-pixel geometry natively in this
+    layout removes the full-frame pack relayouts the hybrid's stats path
+    paid per plane (~0.07-0.1 ms each at 1024^2, round-4 b0 decomposition).
+    Frames padded to the 32-multiple grid include out-of-frame pixels —
+    callers must mask ``(ix < width) & (iy < height)``.
+
+    Returns (ix, iy) int32, each (cdiv(H,32)*cdiv(W,32)*8, 128).
+    """
+    ny = -(-height // 32)
+    nx = -(-width // 32)
+    n = ny * nx * 8
+    s = jnp.arange(n, dtype=jnp.int32)
+    lane = jnp.arange(128, dtype=jnp.int32)
+    tile = s // 8
+    ty = tile // nx
+    tx = tile % nx
+    iy = (ty * 32 + (s % 8) * 4)[:, None] + (lane // 32)[None, :]
+    ix = (tx * 32)[:, None] + (lane % 32)[None, :]
+    return ix, iy
+
+
+def center_ray_dir(camera_uniform, width: int, height: int):
+    """Normalized fragment-path ray direction through the CENTER pixel
+    (row H//2, col W//2) — the single ray _render_fast's dominant-axis
+    pick needs, without materializing the (H, W) frame. Arithmetic matches
+    :func:`rays_fragment_soa` exactly. Returns a (3,) f32 vector."""
+    ndc_x = jnp.float32(2.0 * ((width // 2) + 0.5) / width - 1.0)
+    ndc_y = jnp.float32(1.0 - 2.0 * ((height // 2) + 0.5) / height)
+    inv = camera_uniform.inv_proj
+    nx, ny, nz, nw = mat4_apply(inv, ndc_x, ndc_y, jnp.float32(0.0))
+    fx, fy, fz, fw = mat4_apply(inv, ndc_x, ndc_y, jnp.float32(1.0))
+    dx = fx / fw - nx / nw
+    dy = fy / fw - ny / nw
+    dz = fz / fw - nz / nw
+    inv_len = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return jnp.stack([dx * inv_len, dy * inv_len, dz * inv_len])
+
+
 def rays_fragment_soa(camera_uniform, width: int, height: int):
     """SoA variant of :func:`rays_fragment` for TPU kernels: returns
     (eye (3,), (dx, dy, dz) each (H, W))."""

@@ -299,12 +299,11 @@ def _render_hybrid(
     # measured multi-ms — TPU scatters serialize). The pad unit row-block
     # receives parked ids' writes and is sliced off before the unpack.
     base = tuple(jnp.pad(p, ((0, 8 * tps_r), (0, 0))) for p in rgbp)
-    base = base + (jnp.zeros_like(base[0]),)
     planes, ovf = render_bonsai_tiles_into(
         layouts, base, camera_uniform, ids, width, height, dims, max_steps,
         win_rows, band_rows, nb, bstride, tiles_per_step=tps_r,
     )
-    return finish([p[:-8 * tps_r] for p in planes[:3]]), ovf, degraded
+    return finish([p[:-8 * tps_r] for p in planes]), ovf, degraded
 
 
 class HybridBonsaiRenderer:

@@ -602,7 +602,8 @@ def _march_kernel(
     out_r[:] = r
     out_g[:] = g
     out_b[:] = b
-    out_a[:] = a
+    if out_a is not None:  # the hybrid re-march consumes rgb only
+        out_a[:] = a
     out_ovf[:] = jnp.broadcast_to(ovf.astype(jnp.float32), out_ovf.shape)
 
 
@@ -999,12 +1000,18 @@ def render_bonsai_tiles_pallas(
 
 def _march_kernel_ids_into(ids_ref, crange_ref, occ_ref, eye_ref, vol_hbm,
                            dxr, dyr, dzr, tstr, t1r, hitr,
-                           br, bg, bb, ba, *args, **kwargs):
+                           br, bg, bb, out_r, out_g, out_b, out_ovf,
+                           *scratch, **kwargs):
     """_march_kernel behind tile-id indirection with aliased base planes:
-    the base refs only feed the output aliasing (never read in-kernel)."""
-    del ids_ref, br, bg, bb, ba
+    the base refs only feed the output aliasing (never read in-kernel).
+    Base/output planes are rgb-only — the hybrid's finish never consumes
+    alpha, so the round-3 4th zero plane (alloc + pad copy + per-step
+    aliased writes) is gone (round-4 b0 decomposition)."""
+    del ids_ref, br, bg, bb
     return _march_kernel(crange_ref, occ_ref, eye_ref, vol_hbm,
-                         dxr, dyr, dzr, tstr, t1r, hitr, *args, **kwargs)
+                         dxr, dyr, dzr, tstr, t1r, hitr,
+                         out_r, out_g, out_b, None, out_ovf,
+                         *scratch, **kwargs)
 
 
 def _tile_rays_compact(camera_uniform, tile_ids, width: int, height: int,
@@ -1069,7 +1076,7 @@ def _tile_rays_compact(camera_uniform, tile_ids, width: int, height: int,
 
 def render_bonsai_tiles_into(
     vol_pack,
-    base_planes,  # 4-tuple of ((n_tiles + tps) * 8, 128) packed planes
+    base_planes,  # 3-tuple (rgb) of ((n_tiles + tps) * 8, 128) packed planes
     camera_uniform,
     tile_ids,  # (n_sel,) int32 — tile (or pair) ids to march; pad w/ count
     width: int,
@@ -1087,9 +1094,9 @@ def render_bonsai_tiles_into(
     (measured multi-ms at 1024^2: TPU scatters serialize), and the ray
     planes are generated compactly for ONLY the selected tiles
     (:func:`_tile_rays_compact`) — no full-frame prep. The base planes
-    are the fast frame's packed linear rgba with ONE extra trailing unit
+    are the fast frame's packed linear rgb with ONE extra trailing unit
     row-block: padded ``tile_ids`` entries (== unit count) land there and
-    the caller slices it off. Returns (merged r/g/b/a, overflow count).
+    the caller slices it off. Returns (merged r/g/b, overflow count).
 
     ``tiles_per_step=2`` marches PAIRS of horizontally-adjacent tiles per
     grid step (ids are pair indices; see :func:`_tile_rays_compact`): the
@@ -1128,8 +1135,8 @@ def render_bonsai_tiles_into(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + [sel_block] * 6 + [in_block] * 4,
-        out_specs=[in_block] * 4 + [sel_block],
+        ] + [sel_block] * 6 + [in_block] * 3,
+        out_specs=[in_block] * 3 + [sel_block],
         scratch_shapes=[
             pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),
             pltpu.VMEM((CHUNK, band_rows, dims), vol_chunks.dtype),
@@ -1139,7 +1146,7 @@ def render_bonsai_tiles_into(
         ],
     )
     # operand numbering for aliasing counts the scalar-prefetch args:
-    # 0 ids, 1 cranges, 2 occ, 3 eye, 4 vol, 5-10 rays, 11-14 base planes
+    # 0 ids, 1 cranges, 2 occ, 3 eye, 4 vol, 5-10 rays, 11-13 base planes
     outs = pl.pallas_call(
         partial(_march_kernel_ids_into, dims=dims, win_rows=win_rows,
                 band_rows=band_rows, nb=nb, bstride=bstride,
@@ -1147,12 +1154,12 @@ def render_bonsai_tiles_into(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(((n_tiles + tps) * 8, 128), jnp.float32)
-        ] * 4 + [jax.ShapeDtypeStruct((n_sel * 8 * tps, 128), jnp.float32)],
-        input_output_aliases={11: 0, 12: 1, 13: 2, 14: 3},
+        ] * 3 + [jax.ShapeDtypeStruct((n_sel * 8 * tps, 128), jnp.float32)],
+        input_output_aliases={11: 0, 12: 1, 13: 2},
     )(tile_ids.astype(jnp.int32), cranges.reshape(-1), occ, eye_vec,
       vol_chunks, *ins, *base_planes)
-    n_ovf = jnp.sum(outs[4]).astype(jnp.int32)
-    return outs[:4], n_ovf
+    n_ovf = jnp.sum(outs[3]).astype(jnp.int32)
+    return outs[:3], n_ovf
 
 
 @partial(

@@ -42,12 +42,20 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vokselis_tpu.core.colors import bonsai_transfer_soa
+from vokselis_tpu.core.colors import bonsai_transfer_soa, smoothstep
 
 # precision experiment knob shared with ops.shear_warp (see there)
 _SLAB_DTYPE = (
     jnp.float32 if os.environ.get("VOK_FAST_F32", "0") == "1" else jnp.bfloat16
 )
+
+# TIMING-ONLY ablation knob for the composite's per-slab math (values are
+# comma-separable): "nopow" drops the irho rate correction, "nopal" replaces
+# the vertigo palette with the raw transfer value. Both BREAK correctness —
+# they exist so tools/compos_ablate_probe.py can attribute the composite's
+# cost between transcendentals (3 cos + log + exp per slab-sample) and
+# loop/DMA machinery. Never set in production.
+_COMP_ABLATE = os.environ.get("VOK_COMP_ABLATE", "")
 
 OCC_EPS = 0.1  # slabs whose block max <= 0.1 are no-ops: smoothstep(0.10,..)
 
@@ -232,10 +240,15 @@ def _composite_chunks_kernel(
             for s in range(8):
                 idx = jnp.where(sgn > 0, s, 7 - s)
                 resv = buf[idx].astype(jnp.float32)
-                tv, cr, cg, cb = bonsai_transfer_soa(resv)
+                if "nopal" in _COMP_ABLATE:  # timing ablation — see knob
+                    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, resv))
+                    cr = cg = cb = tv
+                else:
+                    tv, cr, cg, cb = bonsai_transfer_soa(resv)
                 # exact-march rate: irho >= 1 steps per slab telescope to
                 # alpha 1-(1-tv)^irho (ops.shear_warp module docstring)
-                tv = 1.0 - jnp.exp(irho * jnp.log(1.0 - tv))
+                if "nopow" not in _COMP_ABLATE:
+                    tv = 1.0 - jnp.exp(irho * jnp.log(1.0 - tv))
                 # reference's per-pixel march stop at alpha 0.95
                 live = (a < 0.95).astype(jnp.float32)
                 w = (1.0 - a) * tv * live

@@ -150,8 +150,37 @@ def _render_fast(
     ii = intermediate
 
     # ---- per-frame geometry (traced scalars) ------------------------------
-    eye, dirs = geometry.rays_fragment(camera_uniform, width, height)
-    fwd = dirs[height // 2, width // 2]
+    # The hybrid contracts (return_aux "stats"/"packed*") consume every
+    # per-pixel plane in the kernels' packed (n_tiles*8, 128) tile layout;
+    # generating rays packed NATIVELY (geometry.packed_pixel_grid) makes
+    # each downstream plane (hit, xr, av, bu, ok) packed for free and
+    # deletes the four full-frame pack relayouts _warp_to_screen paid per
+    # frame (~0.07-0.1 ms each at 1024^2 — round-4 b0 decomposition). The
+    # elementwise math is identical; only the element ORDER differs.
+    packed_geom = isinstance(return_aux, str)
+    eye = camera_uniform.view_position[:3]
+    if packed_geom:
+        ixp, iyp = geometry.packed_pixel_grid(width, height)
+        ndc_x = 2.0 * (ixp.astype(jnp.float32) + 0.5) / width - 1.0
+        ndc_y = 1.0 - 2.0 * (iyp.astype(jnp.float32) + 0.5) / height
+        inv = camera_uniform.inv_proj
+        nx4, ny4, nz4, nw4 = geometry.mat4_apply(
+            inv, ndc_x, ndc_y, jnp.float32(0.0))
+        fx4, fy4, fz4, fw4 = geometry.mat4_apply(
+            inv, ndc_x, ndc_y, jnp.float32(1.0))
+        dxs = fx4 / fw4 - nx4 / nw4
+        dys = fy4 / fw4 - ny4 / nw4
+        dzs = fz4 / fw4 - nz4 / nw4
+        inv_len = 1.0 / jnp.sqrt(dxs * dxs + dys * dys + dzs * dzs)
+        dirs_s = (dxs * inv_len, dys * inv_len, dzs * inv_len)
+        # padded-grid pixels outside the frame must never participate
+        valid = (ixp < width) & (iyp < height)
+        fwd = geometry.center_ray_dir(camera_uniform, width, height)
+    else:
+        _, dirs = geometry.rays_fragment(camera_uniform, width, height)
+        dirs_s = (dirs[..., 0], dirs[..., 1], dirs[..., 2])
+        valid = None
+        fwd = dirs[height // 2, width // 2]
     afwd = jnp.abs(fwd)
     m = jnp.argmax(afwd)
 
@@ -166,7 +195,7 @@ def _render_fast(
         return vm, vv, vu
 
     em, ev, eu = pick(e_t)
-    dmx, dvx, dux = pick(jnp.moveaxis(dirs, -1, 0))  # (H, W) each
+    dmx, dvx, dux = pick(dirs_s)  # per-pixel planes (frame or packed)
 
     sgn = jnp.where(pick(fwd)[0] >= 0, 1.0, -1.0)
 
@@ -209,13 +238,15 @@ def _render_fast(
     # median tile magnification > 2.7x before this clip). Intersect with
     # the hit rays' ref-plane bounding box; near-parallel rays (x_ref
     # diverges as 1/d_m) are excluded by the intersection itself.
-    exf = jnp.broadcast_to(eye[0], dirs.shape[:2])
-    eyf = jnp.broadcast_to(eye[1], dirs.shape[:2])
-    ezf = jnp.broadcast_to(eye[2], dirs.shape[:2])
+    exf = jnp.broadcast_to(eye[0], dirs_s[0].shape)
+    eyf = jnp.broadcast_to(eye[1], dirs_s[0].shape)
+    ezf = jnp.broadcast_to(eye[2], dirs_s[0].shape)
     tf0, tf1 = geometry.intersect_box_soa(
-        exf, eyf, ezf, dirs[..., 0], dirs[..., 1], dirs[..., 2], 0.0, 1.0
+        exf, eyf, ezf, dirs_s[0], dirs_s[1], dirs_s[2], 0.0, 1.0
     )
     hitf = tf0 <= tf1
+    if valid is not None:
+        hitf = hitf & valid
     safe_dmf = jnp.where(jnp.abs(dmx) < 1e-8, 1e-8, dmx)
     xr_u = eu + denom_ref * dux / safe_dmf
     xr_v = ev + denom_ref * dvx / safe_dmf
@@ -226,8 +257,18 @@ def _render_fast(
         # diverge (1/d_m) and never shrink anything. The excluded tail
         # renders black + flagged (see _warp_to_screen) and the hybrid
         # re-marches it exactly.
-        sub = xr[::8, ::8].reshape(-1)
-        oks = (hitf[::8, ::8] & jnp.isfinite(xr[::8, ::8])).reshape(-1)
+        if packed_geom:
+            # image-(::8, ::8) subsample in packed layout: image rows
+            # 0 mod 8 live at (even sublane, lane < 32), image cols
+            # 0 mod 8 at lane % 8 == 0 — same SET of rays, different
+            # order (the quantile sort is order-independent)
+            xs = xr[::2, :32:8]
+            hs = hitf[::2, :32:8]
+        else:
+            xs = xr[::8, ::8]
+            hs = hitf[::8, ::8]
+        sub = xs.reshape(-1)
+        oks = (hs & jnp.isfinite(xs)).reshape(-1)
         n_ok = jnp.sum(oks.astype(jnp.int32))
         srt = jnp.sort(jnp.where(oks, sub, jnp.inf))
         nf = jnp.maximum(n_ok.astype(jnp.float32), 1.0)
@@ -473,37 +514,29 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
         # STATS contract (hybrid, round 4): ok-masked packed rgb + ONE
         # per-tile stats plane; curvature riding as the 4th warp channel
         # reduces in-kernel (warp2d._warp_kernel_mxu_stats) — no errd/ovf
-        # planes, no ok/hit planes returned, no XLA scoring passes.
-        from vokselis_tpu.ops.pallas.march_bonsai import _pack_tiles
+        # planes, no ok/hit planes returned, no XLA scoring passes. The
+        # per-pixel inputs (hit/av/bu/ok) arrive ALREADY in the packed
+        # tile layout (_render_fast's packed-native raygen) — no pack
+        # relayouts here.
         from vokselis_tpu.ops.pallas.warp2d import (
             mxu_stats_eligible,
             stats_from_packed,
             warp_stats_packed,
         )
-        from vokselis_tpu.utils.grid import cdiv as _cdiv
 
-        ph = _cdiv(height, 32) * 32
-        pw = _cdiv(width, 32) * 32
-
-        def pack(x):
-            return _pack_tiles(
-                jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
-            )
-
-        okp = pack(ok.astype(jnp.float32))
-        boxp = pack(hit.astype(jnp.float32))
+        okp = ok.astype(jnp.float32)
+        boxp = hit.astype(jnp.float32)
         if jax.default_backend() == "tpu" and mxu_stats_eligible(ii):
             outs = warp_stats_packed(
-                jnp.stack(chans, 0), pack(av), pack(bu), okp, boxp,
-                height, width,
+                jnp.stack(chans, 0), av, bu, okp, boxp, height, width,
             )
         else:
             # CPU tests/minisweep (and, correct-but-slow, an ineligible
             # intermediate): exact sampling + the XLA stats mirror
             from jax.scipy.ndimage import map_coordinates
 
-            planes = [pack(map_coordinates(c, [av, bu], order=1,
-                                           mode="constant", cval=0.0))
+            planes = [map_coordinates(c, [av, bu], order=1,
+                                      mode="constant", cval=0.0)
                       for c in chans]
             planes = [jnp.where(okp > 0.0, p, 0.0) for p in planes]
             stats = stats_from_packed(planes[:3], planes[3],
@@ -517,23 +550,13 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
         # warp kernel works in, so the hybrid can score, re-march and
         # merge without any full-frame relayout (each pack/unpack of a
         # 1024^2 plane measured ~0.07-0.1 ms; the round-2 hybrid paid 8).
-        from vokselis_tpu.ops.pallas.march_bonsai import _pack_tiles
-        from vokselis_tpu.utils.grid import cdiv as _cdiv
-
-        ph = _cdiv(height, 32) * 32
-        pw = _cdiv(width, 32) * 32
-
-        def pack(x):
-            return _pack_tiles(
-                jnp.pad(x, ((0, ph - height), (0, pw - width))), ph, pw
-            )
-
-        okp = pack(ok.astype(jnp.float32))
+        # Per-pixel inputs are packed-native already (_render_fast).
+        okp = ok.astype(jnp.float32)
         if jax.default_backend() == "tpu":
             from vokselis_tpu.ops.pallas.warp2d import warp_bilinear_packed
 
             outs = warp_bilinear_packed(
-                jnp.stack(chans, 0), pack(av), pack(bu), okp, height,
+                jnp.stack(chans, 0), av, bu, okp, height,
                 width, warp_win or None, warp_wu, with_overflow=want_ovf,
             )
         else:
@@ -541,8 +564,8 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
             # window, zero overflow (the kernel path needs a TPU)
             from jax.scipy.ndimage import map_coordinates
 
-            outs = [pack(map_coordinates(c, [av, bu], order=1,
-                                         mode="constant", cval=0.0))
+            outs = [map_coordinates(c, [av, bu], order=1,
+                                    mode="constant", cval=0.0)
                     for c in chans]
             if want_ovf:
                 outs.append(jnp.zeros_like(outs[0]))
@@ -553,7 +576,7 @@ def _warp_to_screen(r, g, b, a, hit, x_ref_u, x_ref_v,
         # packed hit mask: the hybrid derives its extent-excluded channel
         # as hitp*(1-okp) with a packed per-tile mean — returning the
         # (H, W) ext_bad instead forced a (ny, 32, nx, 32) relayout there
-        hitp = pack(hit.astype(jnp.float32))
+        hitp = hit.astype(jnp.float32)
         return rgbp, okp, errdp, ovfp, hitp
 
     out = _warp_bilinear(jnp.stack(chans, 0), av, bu, ok,
