@@ -272,3 +272,32 @@ class TestPresentUpsamplers:
                                                   iy + h1(fy) - 0.5)
                 )
         assert np.abs(out - want).max() < 1e-5
+
+
+def test_fast_transfer_poly_parity():
+    """The composite's polynomial transfer+palette+pow mirror
+    (core.colors.bonsai_transfer_pow_fast_soa) vs the exact transcendental
+    forms over the full (samp, irho) domain — guards the committed
+    Chebyshev coefficients (tools/fit_transfer_poly.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vokselis_tpu.core.colors import (
+        bonsai_transfer_pow_fast_soa,
+        bonsai_transfer_soa,
+    )
+
+    samp = jnp.asarray(np.linspace(0.0, 1.0, 4001, dtype=np.float32)[None, :])
+    irho = jnp.asarray(np.linspace(1.0, 3.0, 41, dtype=np.float32)[:, None])
+    a_f, r_f, g_f, b_f = bonsai_transfer_pow_fast_soa(
+        jnp.broadcast_to(samp, (41, 4001)), jnp.broadcast_to(irho, (41, 4001))
+    )
+    tv, r_e, g_e, b_e = bonsai_transfer_soa(samp)
+    a_e = 1.0 - jnp.exp(irho * jnp.log1p(-tv))
+    assert np.abs(np.asarray(a_f) - np.asarray(a_e)).max() < 2e-6
+    for got, want in ((r_f, r_e), (g_f, g_e), (b_f, b_e)):
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-6
+    # empty samples must stay EXACTLY transparent (a leak accumulates
+    # over the ~100 empty slabs a typical ray crosses)
+    a0 = bonsai_transfer_pow_fast_soa(jnp.zeros((8, 128)),
+                                      jnp.full((8, 128), 1.3))[0]
+    assert float(np.abs(np.asarray(a0)).max()) == 0.0

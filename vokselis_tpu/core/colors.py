@@ -92,3 +92,70 @@ def bonsai_transfer_soa(samp):
     tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
     r, g, b = vertigo_soa(tv)
     return tv, r, g, b
+
+
+# ---------------------------------------------------------------------------
+# Polynomial fast path for the fused composite (APPROXIMATE fast mode only —
+# the exact kernel and the jnp oracles keep the transcendental forms above).
+#
+# The composite kernel measured ~90% transcendental-bound (VOK_COMP_ABLATE
+# probe, round 4: pow 0.43 ms + palette 0.51 ms of a 0.99 ms kernel at
+# I=512): every per-slab quantity is a 1-D function of the sample, so the
+# three palette cosines, ln(1-tv) and exp() are replaced with Chebyshev-
+# derived Horner polynomials on their exact domains. Coefficients and the
+# f32 validation come from tools/fit_transfer_poly.py:
+#   palette r/g/b max err 3.2e-7 / 1.3e-6 / 7.0e-8,
+#   alpha = 1-(1-tv)^irho end-to-end max err 4.4e-7 over the full
+#   (samp, irho) domain, and EXACTLY 0 at tv = 0 (both factored forms
+#   carry the zero: ln(1-tv) = tv*P(tv), 1-exp(y) = -y*Q(y)) so empty
+#   samples stay perfectly transparent — a leak there would accumulate
+#   over the ~100 empty slabs a typical ray crosses.
+# ---------------------------------------------------------------------------
+
+_TVMAX = 0.8174305033809168  # smoothstep(0.10, 1.2, 0.9): tv's full range
+# real rays have irho <= sqrt(3); off-ray intermediate texels (extent
+# padding, corner rays with their own dominant axis) can exceed it, so
+# Q is fitted out to irho = 3 and y clamps there (alpha saturates
+# within 0.6% beyond, on texels no real ray owns)
+_YMIN = -5.101873125163693  # 3 * ln(1 - TVMAX): y's fitted range
+
+_PAL_R = (2.3406275886372896e-06, -8.178023563232273e-06, -7.169197488110512e-05, 0.00021621925407089293, 0.0014433319447562099, -0.003630567342042923, -0.019702181220054626, 0.03964952751994133, 0.16730359196662903, -0.2525175213813782, -0.7610723376274109, 0.765809953212738, 1.3848620653152466, -0.6967412829399109, 0.08001303672790527)  # noqa: E501
+_PAL_G = (6.774119538022205e-05, 0.00017599744023755193, -0.0012224658858031034, -0.0028367959894239902, 0.013864136300981045, 0.027970831841230392, -0.1138000339269638, -0.19436828792095184, 0.6569516658782959, 0.9181039929389954, -2.4818410873413086, -2.6976795196533203, 5.469216823577881, 4.246329307556152, -5.739269733428955, -2.6735997200012207, 1.806796908378601, 0.7805613875389099)  # noqa: E501
+_PAL_B = (-1.2924492693855427e-06, -9.764691640157253e-06, 9.051700180862099e-05, 0.000533417914994061, -0.0036043107975274324, -0.015173014253377914, 0.0683177188038826, 0.17255795001983643, -0.38847577571868896, 0.17292727530002594)  # noqa: E501
+_LN_P = (-0.005728758871555328, -0.007759550120681524, 0.006596320308744907, 0.00675453944131732, -0.013167641125619411, -0.017193958163261414, -0.013717273250222206, -0.025685228407382965, -0.049689874053001404, -0.0907517597079277, -0.17888523638248444, -0.4055885076522827, -1.2856327295303345)  # noqa: E501
+_EXP_Q = (3.249415021855384e-05, 0.00014471162285190076, 0.000508370460011065, 0.0018546003848314285, 0.006139653269201517, 0.017848661169409752, 0.04536726698279381, 0.0993211641907692, 0.1839265376329422, 0.2834240198135376, 0.3614325225353241)  # noqa: E501
+
+
+def _horner(coeffs, u):
+    acc = jnp.full_like(u, coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * u + c
+    return acc
+
+
+def bonsai_transfer_fast_soa(samp):
+    """``bonsai_transfer_soa`` with the three vertigo cosines replaced by
+    their Chebyshev polynomials (<= 1.4e-6 per channel — see the
+    coefficient block above): sample -> (tv, r, g, b) with tv EXACT
+    (smoothstep is already polynomial). For approximate render paths
+    whose error contract is measured in 1e-3s (the shear-warp composite,
+    the hybrid's re-march) — the flagship exact kernel and the jnp
+    oracles keep the transcendental form."""
+    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
+    u = (2.0 / _TVMAX) * tv - 1.0
+    return tv, _horner(_PAL_R, u), _horner(_PAL_G, u), _horner(_PAL_B, u)
+
+
+def bonsai_transfer_pow_fast_soa(samp, irho):
+    """Fast-mode transfer + palette + irho rate correction in one
+    polynomial pass: sample -> (alpha_step, r, g, b) where
+    alpha_step = 1 - (1 - tv)^irho. Semantics match
+    ``bonsai_transfer_soa`` + the exp/log rate fold within <= 1.4e-6
+    per sample (see the coefficient block above / fit_transfer_poly).
+    """
+    tv, r, g, b = bonsai_transfer_fast_soa(samp)
+    u = (2.0 / _TVMAX) * tv - 1.0
+    y = jnp.maximum(irho * (tv * _horner(_LN_P, u)), _YMIN)
+    w = 1.0 - (2.0 / _YMIN) * y
+    alpha = -(y * _horner(_EXP_Q, w))
+    return alpha, r, g, b

@@ -299,9 +299,15 @@ def _render_hybrid(
     # measured multi-ms — TPU scatters serialize). The pad unit row-block
     # receives parked ids' writes and is sliced off before the unpack.
     base = tuple(jnp.pad(p, ((0, 8 * tps_r), (0, 0))) for p in rgbp)
+    # fast_transfer: the re-march evaluates the vertigo palette through
+    # its Chebyshev polynomials (alpha exact, colors <= 1.4e-6 — far
+    # under this renderer's 1e-3 contract); the three cosines measured
+    # ~27 vector-op equivalents each in the composite's ablation and the
+    # march pays them per slab step on the DENSEST tiles of the frame
     planes, ovf = render_bonsai_tiles_into(
         layouts, base, camera_uniform, ids, width, height, dims, max_steps,
         win_rows, band_rows, nb, bstride, tiles_per_step=tps_r,
+        fast_transfer=True,
     )
     return finish([p[:-8 * tps_r] for p in planes]), ovf, degraded
 

@@ -74,6 +74,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vokselis_tpu.core import geometry
 from vokselis_tpu.core.colors import (
+    bonsai_transfer_fast_soa,
     bonsai_transfer_soa,
     linear_to_srgb,
     smoothstep,
@@ -135,6 +136,7 @@ def _march_kernel(
     nb: int,
     bstride: int,
     max_steps: int,
+    fast_transfer: bool = False,
 ):
     """One grid step = one 32x32 image tile, ALL six (axis, sign) ray
     classes: a dynamic fori over classes derives each class's slab-space
@@ -475,8 +477,17 @@ def _march_kernel(
                     c1 = t10 + (t11 - t10) * fu
                     samp = (c0 + (c1 - c0) * fv) * (1.0 / 255.0)
 
-                    # transfer (raycast_naive.wgsl:101-108)
-                    tv, cr, cg, cb = bonsai_transfer_soa(samp)
+                    # transfer (raycast_naive.wgsl:101-108). fast_transfer
+                    # swaps the three vertigo cosines for their Chebyshev
+                    # polynomials (<= 1.4e-6/channel, alpha EXACT —
+                    # core.colors.bonsai_transfer_fast_soa): the hybrid's
+                    # re-march uses it (its contract is measured in 1e-3s);
+                    # the flagship full-frame kernel keeps the
+                    # transcendental form and its ~1e-6 oracle parity.
+                    if fast_transfer:
+                        tv, cr, cg, cb = bonsai_transfer_fast_soa(samp)
+                    else:
+                        tv, cr, cg, cb = bonsai_transfer_soa(samp)
                     one_m_a = 1.0 - a
                     w = one_m_a * tv
                     return (
@@ -1088,6 +1099,7 @@ def render_bonsai_tiles_into(
     nb: int = 3,
     bstride: int = BAND_STRIDE,
     tiles_per_step: int = 1,
+    fast_transfer: bool = False,
 ):
     """render_bonsai_tiles_pallas, but the exact tiles are written IN PLACE
     over donated base planes via Pallas output aliasing — no XLA scatter
@@ -1150,7 +1162,7 @@ def render_bonsai_tiles_into(
     outs = pl.pallas_call(
         partial(_march_kernel_ids_into, dims=dims, win_rows=win_rows,
                 band_rows=band_rows, nb=nb, bstride=bstride,
-                max_steps=max_steps),
+                max_steps=max_steps, fast_transfer=fast_transfer),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(((n_tiles + tps) * 8, 128), jnp.float32)

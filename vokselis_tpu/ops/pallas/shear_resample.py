@@ -42,7 +42,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vokselis_tpu.core.colors import bonsai_transfer_soa, smoothstep
+from vokselis_tpu.core.colors import (
+    bonsai_transfer_pow_fast_soa,
+    bonsai_transfer_soa,
+    smoothstep,
+)
 
 # precision experiment knob shared with ops.shear_warp (see there)
 _SLAB_DTYPE = (
@@ -52,10 +56,15 @@ _SLAB_DTYPE = (
 # TIMING-ONLY ablation knob for the composite's per-slab math (values are
 # comma-separable): "nopow" drops the irho rate correction, "nopal" replaces
 # the vertigo palette with the raw transfer value. Both BREAK correctness —
-# they exist so tools/compos_ablate_probe.py can attribute the composite's
+# they exist so the VOK_COMP_ABLATE probe can attribute the composite's
 # cost between transcendentals (3 cos + log + exp per slab-sample) and
 # loop/DMA machinery. Never set in production.
 _COMP_ABLATE = os.environ.get("VOK_COMP_ABLATE", "")
+
+# A/B knob: VOK_EXACT_TRANSFER=1 restores the transcendental transfer/
+# palette/pow in the composite (the polynomial mirror is the default —
+# <= 1.4e-6/sample vs exact, tools/fit_transfer_poly.py)
+_EXACT_TRANSFER = os.environ.get("VOK_EXACT_TRANSFER", "0") == "1"
 
 OCC_EPS = 0.1  # slabs whose block max <= 0.1 are no-ops: smoothstep(0.10,..)
 
@@ -240,15 +249,26 @@ def _composite_chunks_kernel(
             for s in range(8):
                 idx = jnp.where(sgn > 0, s, 7 - s)
                 resv = buf[idx].astype(jnp.float32)
-                if "nopal" in _COMP_ABLATE:  # timing ablation — see knob
-                    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, resv))
-                    cr = cg = cb = tv
-                else:
+                # transfer + palette + the exact-march rate correction
+                # (irho >= 1 steps per slab telescope to 1-(1-tv)^irho,
+                # ops.shear_warp module docstring) in ONE polynomial pass:
+                # the transcendental form measured ~90% of this kernel
+                # (pow 0.43 + palette 0.51 of 0.99 ms at I=512, round-4
+                # VOK_COMP_ABLATE probe); the polynomial mirror is exact
+                # to <= 1.4e-6/sample (tools/fit_transfer_poly.py).
+                if _COMP_ABLATE:  # timing-only ablations — see knob
+                    if "nopal" in _COMP_ABLATE:
+                        tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, resv))
+                        cr = cg = cb = tv
+                    else:
+                        tv, cr, cg, cb = bonsai_transfer_soa(resv)
+                    if "nopow" not in _COMP_ABLATE:
+                        tv = 1.0 - jnp.exp(irho * jnp.log(1.0 - tv))
+                elif _EXACT_TRANSFER:  # A/B reference path
                     tv, cr, cg, cb = bonsai_transfer_soa(resv)
-                # exact-march rate: irho >= 1 steps per slab telescope to
-                # alpha 1-(1-tv)^irho (ops.shear_warp module docstring)
-                if "nopow" not in _COMP_ABLATE:
                     tv = 1.0 - jnp.exp(irho * jnp.log(1.0 - tv))
+                else:
+                    tv, cr, cg, cb = bonsai_transfer_pow_fast_soa(resv, irho)
                 # reference's per-pixel march stop at alpha 0.95
                 live = (a < 0.95).astype(jnp.float32)
                 w = (1.0 - a) * tv * live

@@ -60,9 +60,8 @@ from jax import lax
 
 from vokselis_tpu.core import geometry
 from vokselis_tpu.core.colors import (
-    bonsai_transfer_soa,
+    bonsai_transfer_pow_fast_soa,
     linear_to_srgb,
-    vertigo_soa,
 )
 from vokselis_tpu.ops.reference import MAX_STEPS_BONSAI
 
@@ -407,15 +406,17 @@ def _render_fast(
             # the group collapses to an exclusive transmittance cumprod +
             # weighted sums — one scan over (G, I, I) instead of G carry
             # round-trips of the (I, I) rgba state through HBM (the
-            # sequential form measured HBM-bound, not MXU-bound)
-            tv = bonsai_transfer_soa(res)[0]
+            # sequential form measured HBM-bound, not MXU-bound).
             # entry-side-first order
-            tv = lax.cond(sgn > 0, lambda t: t, lambda t: lax.rev(t, (0,)), tv)
-            # palette color comes from the RAW transfer value; the alpha
-            # RATE is corrected to the exact march's irho steps per slab
-            # (see the Pallas composite kernel for the derivation)
-            cr, cg, cb = vertigo_soa(tv)
-            tv = 1.0 - jnp.exp(irho[None] * jnp.log1p(-tv))
+            res_o = lax.cond(sgn > 0, lambda t: t, lambda t: lax.rev(t, (0,)),
+                             res)
+            # transfer + palette + irho rate correction via the SAME
+            # polynomial pass the Pallas composite uses (core.colors.
+            # bonsai_transfer_pow_fast_soa, <= 1.4e-6/sample vs the
+            # transcendental form) so fast-mode semantics are identical
+            # across backends; palette color comes from the RAW transfer
+            # value, alpha is 1-(1-tv)^irho (exact-march steps per slab)
+            tv, cr, cg, cb = bonsai_transfer_pow_fast_soa(res_o, irho[None])
             one_m = 1.0 - tv
             cum = jnp.cumprod(one_m, axis=0)  # inclusive transmittance
             t_excl = jnp.concatenate(
