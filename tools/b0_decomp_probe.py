@@ -55,6 +55,14 @@ def main():
     hyb = hmod.HybridBonsaiRenderer(vol, intermediate=II)
     u0 = Camera.bonsai(1.0).uniform()
     wwin, wwu, _deg = pose_hint(u0, W, H, II, hyb.dims)
+    if os.environ.get("VOK_PROBE_WIN0", "0") == "1":
+        # measure the _render_fast variants at the ADAPTIVE default hint
+        # (0, 128) — the windows the hybrid actually collapses to on the
+        # headline path (ops/hybrid.py mxu_adaptive_eligible) — instead of
+        # the static pose-hint buckets. b0/b8 are unaffected (they collapse
+        # internally); the fast/packed/stats rows become apples-to-apples
+        # with them.
+        wwin, wwu = 0, 128
     print(f"hint windows: ({wwin}, {wwu})", flush=True)
     frender, fpack = hyb.functional()
     packs = hyb.packs

@@ -130,29 +130,36 @@ def main():
         stages[name] = round(s * 1000, 1)
         print(f"{name:10s} {s*1000:8.1f} ms", flush=True)
 
-    rec("genvol", lambda eps, t: generate_density_u8_pallas(
-        t + eps, d).astype(jnp.float32)[0, 0, 0], jnp.float32(0.3))
-    rec("transpose_gather", lambda eps, v: transposes_gather(
-        (v.astype(jnp.float32) + eps).astype(jnp.uint8)
-    ).astype(jnp.float32)[0, 0, 0, 0], vol0)
-    rec("transpose", lambda eps, v: transposes(
-        (v.astype(jnp.float32) + eps).astype(jnp.uint8)
-    ).astype(jnp.float32)[0, 0, 0, 0], vol0)
-    rec("pairs", lambda eps, c: pairs_of(
-        (c.astype(jnp.float32) + eps).astype(jnp.uint8)
-    ).astype(jnp.float32)[0, 0, 0, 0], chunks0)
-    rec("banded", lambda eps, p: banded_of(
-        (p.astype(jnp.float32) + eps).astype(jnp.uint16)
-    ).astype(jnp.float32)[0, 0, 0, 0], pairs0)
+    # Consume EVERY element of each stage's output (f32 sum): consuming
+    # only [0,0,0,0] let XLA dead-code-eliminate the build itself — the
+    # original probe reported 39 ms for a repack that costs ~1.5 s in
+    # config 5's batch loop (round-4 finding). The sum adds one read pass
+    # (~5-10 ms at HBM rate for the largest tensors) — small vs the
+    # stages it keeps honest.
+    def consume(x):
+        return x.astype(jnp.float32).sum()
+
+    rec("genvol", lambda eps, t: consume(generate_density_u8_pallas(
+        t + eps, d)), jnp.float32(0.3))
+    rec("transpose_gather", lambda eps, v: consume(transposes_gather(
+        (v.astype(jnp.float32) + eps).astype(jnp.uint8))), vol0)
+    rec("transpose", lambda eps, v: consume(transposes(
+        (v.astype(jnp.float32) + eps).astype(jnp.uint8))), vol0)
+    rec("pairs", lambda eps, c: consume(pairs_of(
+        (c.astype(jnp.float32) + eps).astype(jnp.uint8))), chunks0)
+    rec("banded", lambda eps, p: consume(banded_of(
+        (p.astype(jnp.float32) + eps).astype(jnp.uint16))), pairs0)
     rec("occ", lambda eps, c: occ_of(
         (c.astype(jnp.float32) + eps).astype(jnp.uint8)
     ).astype(jnp.float32), chunks0)
-    rec("repack", lambda eps, v: prepare_volume_device(
-        (v.astype(jnp.float32) + eps).astype(jnp.uint8), win_cap
-    )[0].astype(jnp.float32)[0, 0, 0, 0], vol0)
-    rec("gen+re", lambda eps, t: prepare_volume_device(
-        generate_density_u8_pallas(t + eps, d), win_cap
-    )[0].astype(jnp.float32)[0, 0, 0, 0], jnp.float32(0.3))
+
+    def consume_pack(pk):
+        return sum(consume(p) for p in pk)
+
+    rec("repack", lambda eps, v: consume_pack(prepare_volume_device(
+        (v.astype(jnp.float32) + eps).astype(jnp.uint8), win_cap)), vol0)
+    rec("gen+re", lambda eps, t: consume_pack(prepare_volume_device(
+        generate_density_u8_pallas(t + eps, d), win_cap)), jnp.float32(0.3))
 
     print(json.dumps({"d": d, **stages}), flush=True)
     os.makedirs("/tmp/r4_logs", exist_ok=True)
