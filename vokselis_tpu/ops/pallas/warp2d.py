@@ -363,22 +363,21 @@ def _packed_edge(x):
     return cd + rd
 
 
-def _srgb_mosaic(x):
-    """linear_to_srgb with the pow spelled as exp/log (Mosaic has no powf;
-    operands clamped so the log is finite)."""
-    xc = jnp.maximum(x, 1e-12)
-    return jnp.where(x <= 0.0031308, 12.92 * jnp.maximum(x, 0.0),
-                     1.055 * jnp.exp(jnp.log(xc) * (1.0 / 2.4)) - 0.055)
-
-
-def _srgb_slope_mosaic(lum):
-    """Local slope of the sRGB transfer at linear luminance ``lum`` (>=
-    1e-6): gamma amplifies dark-region differences up to 12.92x."""
-    return jnp.where(
-        lum > 0.0031308,
-        (1.055 / 2.4) * jnp.exp((1.0 / 2.4 - 1.0) * jnp.log(lum)),
-        12.92,
-    )
+def _srgb_score_lum(lum):
+    """(slope, srgb_lum) of the SCORING luminance from ONE log+exp pair:
+    t = lum^(1/2.4) gives both the transfer slope (1.055/2.4)*t/lum and
+    the sRGB luminance 1.055*t - 0.055. The luminance is srgb-of-MEAN —
+    the round-3 contract was mean-of-srgb over r/g/b (3 extra log+exp
+    pairs per pixel); the difference is a Jensen gap on the 0.03-weighted
+    edge term and the peak ranking weight only (curv*slope, the dominant
+    score term, uses the slope, which is unchanged). Swapped after the
+    transcendental count measured as the stats kernel's biggest vector
+    cost (round 4; CPU mini-sweep re-validated 72/72 <= 1e-3)."""
+    t = jnp.exp(jnp.log(lum) * (1.0 / 2.4))
+    hi = lum > 0.0031308
+    slope = jnp.where(hi, (1.055 / 2.4) * t / lum, 12.92)
+    srgb_lum = jnp.where(hi, 1.055 * t - 0.055, 12.92 * lum)
+    return slope, srgb_lum
 
 
 # stats plane row layout (each row broadcast across its 128 lanes); the
@@ -520,10 +519,7 @@ def _warp_kernel_mxu_stats(
         out_b[:] = b
 
         lum = jnp.maximum((r + g + b) * (1.0 / 3.0), 1e-6)
-        slope = _srgb_slope_mosaic(lum)
-        lums = (_srgb_mosaic(r) + _srgb_mosaic(g) + _srgb_mosaic(b)) * (
-            1.0 / 3.0
-        )
+        slope, lums = _srgb_score_lum(lum)
         edge = _packed_edge(lums)
         stats_ref[:] = _stats_rows([
             jnp.sum(cu * slope),
@@ -539,17 +535,10 @@ def stats_from_packed(rgbp, curvp, ovfp, okp, boxp):
     curvature planes, per-pixel overflow flags and the ok/box-hit masks
     (all (n_tiles*8, 128)) -> the stats plane. The CPU fallback path and
     the interpret-mode tests run the hybrid's scoring through this."""
-    from vokselis_tpu.core.colors import linear_to_srgb
-
     r, g, b = rgbp
     n_tiles = r.shape[0] // 8
     lum = jnp.maximum((r + g + b) * (1.0 / 3.0), 1e-6)
-    slope = jnp.where(
-        lum > 0.0031308, (1.055 / 2.4) * lum ** (1.0 / 2.4 - 1.0), 12.92
-    )
-    lums = (linear_to_srgb(jnp.maximum(r, 0.0))
-            + linear_to_srgb(jnp.maximum(g, 0.0))
-            + linear_to_srgb(jnp.maximum(b, 0.0))) * (1.0 / 3.0)
+    slope, lums = _srgb_score_lum(lum)
     edge = _packed_edge(lums)
 
     def tsum(x):
