@@ -215,7 +215,7 @@ def bench_bonsai_hybrid(width=1024, height=1024, intermediate=None,
         def frames(pk, vp, pv, ip):
             def body(i, acc):
                 u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                im, _ = frender(pk, u, width, height, hint=hint)
+                im, _, _ = frender(pk, u, width, height, hint=hint)
                 return acc + im[0, 0, 0] + im[height // 2, width // 2, 0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -292,7 +292,7 @@ def bench_bonsai_orbit(width=1920, height=1080, n_poses=8):
         err_max = 0.0
         for c in poses:
             u = c.uniform()
-            him, _ = frender(fpack, u, width, height)
+            him, _, _ = frender(fpack, u, width, height)
             eim = render(pack, u, width, height)
             err_max = max(err_max, float(jnp.abs(
                 him[..., :3] - eim[..., :3]).mean()))

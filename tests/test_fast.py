@@ -564,3 +564,33 @@ def test_dense_volume_routes_to_exact(monkeypatch):
     assert not sparse.dense_fallback
     sparse._call_traced(None, 64, 64, hint=(0, 128, False))
     assert calls["mode"] == "hybrid"
+
+
+def test_degraded_flag_unmissable_in_public_apis(monkeypatch):
+    """Round-4 verdict #7: no public hybrid entry point may render a
+    degenerate pose without a signal. build_hybrid_renderer's render
+    returns (img, degraded) unconditionally and functional() includes the
+    flag BY DEFAULT; the flag itself is _render_hybrid's traced
+    traced_degenerate output (correctness of that traced mirror at the
+    zoom-0.6 pose is asserted in test_traced_degraded_flag — here the
+    plumbing must deliver it to the caller unmodified)."""
+    import vokselis_tpu.ops.hybrid as hy
+    from vokselis_tpu.volume.io import get_bonsai
+
+    sentinel = object()  # stands in for the traced degraded bool
+
+    def fake_render_hybrid(*a, **k):
+        return "img", 7, sentinel
+
+    monkeypatch.setattr(hy, "_render_hybrid", fake_render_hybrid)
+
+    render, pack = hy.build_hybrid_renderer(get_bonsai(64), budget=8)
+    img, deg = render(pack, None, 64, 64)
+    assert img == "img" and deg is sentinel
+
+    r = hy.HybridBonsaiRenderer(get_bonsai(64), budget=8)
+    frender, fpack = r.functional()
+    out = frender(fpack, None, 64, 64)  # default: flag included
+    assert len(out) == 3 and out[2] is sentinel
+    out2 = frender(fpack, None, 64, 64, with_degraded=False)  # opt-out
+    assert len(out2) == 2

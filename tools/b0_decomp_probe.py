@@ -106,7 +106,7 @@ def main():
 
     def hyb_fn(budget):
         def fn(pk, u):
-            im, _ = frender(pk, u, W, H, hint=(wwin, wwu, False),
+            im, _, _ = frender(pk, u, W, H, hint=(wwin, wwu, False),
                             budget=budget)
             return im[0, 0, 0] + im[H // 2, W // 2, 0]
         return fn

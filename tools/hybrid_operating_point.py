@@ -109,7 +109,7 @@ def main():
             def frames(pk, vp, pv, ip):
                 def body(i, acc):
                     u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                    img, _o = frender(pk, u, W, H, hint=hint)
+                    img, _o, _d = frender(pk, u, W, H, hint=hint)
                     return acc + img[0, 0, 0] + img[H // 2, W // 2, 0]
                 return lax.fori_loop(0, n, body, jnp.float32(0.0))
             jf = jax.jit(frames)

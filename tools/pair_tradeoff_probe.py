@@ -69,7 +69,7 @@ def main():
         hmod._PAIR = pair
         errs = {}
         for name, (u, e) in exacts.items():
-            h, _ = frender(fpack, u, W, H, budget=budget)
+            h, _, _ = frender(fpack, u, W, H, budget=budget)
             errs[name] = float(diff(h, e))
         out[tag + "_errs"] = errs
         print(f"{tag}: " + "  ".join(f"{k}={v:.3e}" for k, v in errs.items()),
@@ -81,7 +81,7 @@ def main():
             def frames(pk, vp, pv, ip):
                 def body(i, acc):
                     u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                    img, _o = frender(pk, u, W, H, budget=budget)
+                    img, _o, _d = frender(pk, u, W, H, budget=budget)
                     return acc + img[0, 0, 0] + img[H // 2, W // 2, 0]
                 return lax.fori_loop(0, n, body, jnp.float32(0.0))
             jf = jax.jit(frames)

@@ -82,7 +82,7 @@ def main():
             def frames(pk, vp, pv, ip):
                 def body(i, acc):
                     u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                    im, _ = frender(pk, u, W, H, hint=hint, budget=b)
+                    im, _, _ = frender(pk, u, W, H, hint=hint, budget=b)
                     return acc + im[0, 0, 0] + im[H // 2, W // 2, 0]
                 return lax.fori_loop(0, n, body, jnp.float32(0.0))
             jf = jax.jit(frames)
@@ -110,7 +110,7 @@ def main():
             def frames(pk, vp, pv, ip):
                 def body(i, acc):
                     u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                    im, _ = frender(pk, u, W, H, hint=small_hint, budget=0)
+                    im, _, _ = frender(pk, u, W, H, hint=small_hint, budget=0)
                     return acc + im[0, 0, 0] + im[H // 2, W // 2, 0]
                 return lax.fori_loop(0, n, body, jnp.float32(0.0))
             jf = jax.jit(frames)
@@ -121,7 +121,7 @@ def main():
         out[f"hybrid_b0_w{wwin}x{wwu}_ms"] = round(sec * 1000, 3)
         # error at the operating budget with this window: do overflow
         # tiles get ranked and re-marched back under the error target?
-        h, _ = frender(fpack, u0, W, H, hint=small_hint, budget=budget)
+        h, _, _ = frender(fpack, u0, W, H, hint=small_hint, budget=budget)
         e = float(mean_err(h, exact))
         out[f"hybrid_b{budget}_w{wwin}x{wwu}_err"] = round(e, 9)
         print(f"2b. hybrid win=({wwin},{wwu}): b0 {sec*1000:.3f} ms, "
@@ -136,7 +136,7 @@ def main():
         def frames(pk, vp, pv, ip):
             def body(i, acc):
                 u = CameraUniform(vp + acc * 1e-20, pv, ip)
-                im, _ = frender_p(pk, u, W, H, hint=hint, budget=budget)
+                im, _, _ = frender_p(pk, u, W, H, hint=hint, budget=budget)
                 return acc + im[0, 0, 0] + im[H // 2, W // 2, 0]
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         jf = jax.jit(frames)

@@ -30,7 +30,12 @@ import jax as _jax
 # every tool restart / tunnel death repaid the full compile. Probed on the
 # axon TPU backend (round 4): second-process hits load in ~40 ms. Opt out
 # with VOK_NO_COMPILE_CACHE=1 (or point VOK_COMPILE_CACHE elsewhere).
-if _os.environ.get("VOK_NO_COMPILE_CACHE", "0") != "1":
+# Deference to embedders (advisor, round 4): an app that already configured
+# its own cache dir (jax config or JAX_COMPILATION_CACHE_DIR env) is left
+# untouched — this only fills in a default where none exists.
+if (_os.environ.get("VOK_NO_COMPILE_CACHE", "0") != "1"
+        and not _jax.config.jax_compilation_cache_dir
+        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
     _cache_dir = _os.environ.get("VOK_COMPILE_CACHE",
                                  _os.path.expanduser("~/.jax_cache"))
     try:

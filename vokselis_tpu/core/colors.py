@@ -152,6 +152,17 @@ def bonsai_transfer_pow_fast_soa(samp, irho):
     alpha_step = 1 - (1 - tv)^irho. Semantics match
     ``bonsai_transfer_soa`` + the exp/log rate fold within <= 1.4e-6
     per sample (see the coefficient block above / fit_transfer_poly).
+
+    Domain assumption (advisor, round 4): the _YMIN floor on
+    y = irho * tv * ln(1-tv) caps the effective step-rate ratio at
+    irho <= ~3 — texels whose own dominant axis diverges harder from the
+    frame axis SATURATE (alpha -> 1) instead of staying exact. At the
+    reference camera (fovy = pi/2, src/camera.rs:88-91) irho stays below
+    ~1.8 (the fast path picks the dominant axis per frame, bounding the
+    off-axis step-rate by sqrt(3) with margin), so the 72-pose sweep's
+    <= 1e-3 gate holds; a wider-FOV camera would need the Q fit re-run
+    over the wider y range (tools/fit_transfer_poly.py validates any
+    refit to <= 1.4e-6).
     """
     tv, r, g, b = bonsai_transfer_fast_soa(samp)
     u = (2.0 / _TVMAX) * tv - 1.0

@@ -119,7 +119,10 @@ def select_units(scores, n_tiles: int, budget: int, thresh: float,
     """
     if pair:
         n_units = n_tiles // 2
-        budget_u = min(cdiv(budget, 2), n_units)
+        # budget is a hard cap in TILES: odd budgets round DOWN one tile
+        # (advisor, round 4 — cdiv exceeded the cap by one); budget 1
+        # still buys one pair, or selection would be empty
+        budget_u = min(max(budget // 2, 1), n_units)
         pair_scores = scores.reshape(n_units, 2)
         rank = pair_scores.sum(axis=1) if _PAIR_RANK_SUM \
             else pair_scores.max(axis=1)
@@ -334,9 +337,10 @@ class HybridBonsaiRenderer:
         # DENSE_OCC_FRAC): route every pose to the exact kernel
         from vokselis_tpu.ops.pallas.shear_resample import OCC_EPS
 
-        self.occ_frac = float(
-            (vol_u8.astype(np.float32) / 255.0 > OCC_EPS).mean()
-        )
+        # integer-space threshold (advisor, round 4): u8 > OCC_EPS*255 is
+        # exactly (u8/255 > OCC_EPS) without a ~540 MB float temporary on
+        # a 512^3 volume — only the bool result allocates
+        self.occ_frac = float((vol_u8 > OCC_EPS * 255.0).mean())
         self.dense_fallback = self.occ_frac > DENSE_OCC_FRAC
 
     def _call_traced(self, camera_uniform, width: int = 1280,
@@ -423,17 +427,18 @@ class HybridBonsaiRenderer:
     def functional(self):
         """(render, pack) pair for OUTER-JIT callers (fori frame loops):
         ``render(pack, camera_uniform, width, height, hint=None, ...)``
-        -> (img, ovf) with the volume packs/layouts travelling as jit
-        ARGUMENTS. Calling ``_call_traced`` under an outer trace instead
-        closes over ~100 MB of layouts as HLO constants, which this
-        environment's HTTP remote-compile hop rejects outright (413).
-        The degenerate-pose EXACT fallback cannot run under a trace — pin
-        a concrete ``hint`` from pose_hint at a representative pose, or
-        pass ``with_degraded=True`` to also receive the TRACED
-        ``degraded`` flag (ops.shear_warp.traced_degenerate): True marks
-        frames whose pose breaks the shear-warp factorization (eye in the
-        slab range / s_near close-up) — consume it (re-render exact, or
-        discard) instead of trusting the pixels."""
+        -> (img, ovf, degraded) with the volume packs/layouts travelling
+        as jit ARGUMENTS. Calling ``_call_traced`` under an outer trace
+        instead closes over ~100 MB of layouts as HLO constants, which
+        this environment's HTTP remote-compile hop rejects outright (413).
+        The degenerate-pose EXACT fallback cannot run under a trace, so
+        the TRACED ``degraded`` flag (ops.shear_warp.traced_degenerate)
+        is part of the DEFAULT return (round-4 verdict: it must be
+        unmissable): True marks frames whose pose breaks the shear-warp
+        factorization (eye in the slab range / s_near close-up) — consume
+        it (re-render exact, or discard) instead of trusting the pixels.
+        Callers that pre-validate their poses with pose_hint may opt out
+        with ``with_degraded=False``."""
         pack = (self.packs, self.layouts)
 
         if self.dense_fallback:
@@ -443,7 +448,7 @@ class HybridBonsaiRenderer:
             # exact by construction)
             def render_exact(pk, camera_uniform, width, height, hint=None,
                              max_steps=MAX_STEPS_BONSAI, srgb=True,
-                             budget=None, with_degraded=False):
+                             budget=None, with_degraded=True):
                 _packs, layouts = pk
                 tps = pick_tiles_per_step(self.dims, width, height,
                                           cap=self.win_cap)
@@ -462,7 +467,7 @@ class HybridBonsaiRenderer:
 
         def render(pk, camera_uniform, width, height, hint=None,
                    max_steps=MAX_STEPS_BONSAI, srgb=True, budget=None,
-                   with_degraded=False):
+                   with_degraded=True):
             packs, layouts = pk
             wwin, wwu = (0, 128) if hint is None else (hint[0], hint[1])
             pair = _pair_mode(self.dims, width, height, self.win_cap)
@@ -492,17 +497,22 @@ def build_hybrid_renderer(vol_u8, intermediate: int = 512,
                           budget: int = DEFAULT_BUDGET,
                           thresh: float = DEFAULT_THRESH, win_cap: int = 128):
     """Functional (render, pack) pair: render(pack, cam, width, height)
-    -> (H, W, 4); the pack tuple travels as jit arguments.
+    -> ``(img, degraded)`` with img (H, W, 4); the pack tuple travels as
+    jit arguments.
 
-    WARNING: built for jit pipelines where the camera is TRACED, so the
-    host-side pose classification cannot run — render() takes an optional
-    concrete ``hint=(warp_win, warp_wu, degenerate_ignored)`` (from
+    Built for jit pipelines where the camera is TRACED, so the host-side
+    pose classification cannot run — render() takes an optional concrete
+    ``hint=(warp_win, warp_wu, degenerate_ignored)`` (from
     ops.shear_warp.pose_hint at a representative pose) and otherwise uses
     the default warp windows with NO degenerate-pose exact fallback.
     Degenerate poses (eye in the slab range, close-up magnification — see
-    pose_hint) degrade beyond what the budgeted re-march repairs; use
-    :class:`HybridBonsaiRenderer` when the pose is concrete, which
-    escalates/falls back automatically."""
+    pose_hint) degrade beyond what the budgeted re-march repairs, so the
+    TRACED ``degraded`` flag is an unconditional part of the return
+    (round-4 verdict: no public hybrid entry point may render a
+    degenerate pose without a signal): when it is True the pixels are
+    outside the error contract — re-render via the exact kernel or drop
+    the frame. Use :class:`HybridBonsaiRenderer` when the pose is
+    concrete, which escalates/falls back automatically."""
     r = HybridBonsaiRenderer(vol_u8, intermediate, budget, thresh, win_cap)
     pack = (r.packs, r.layouts)
 
@@ -511,9 +521,9 @@ def build_hybrid_renderer(vol_u8, intermediate: int = 512,
 
         def render(pk, camera_uniform, width, height,
                    max_steps=MAX_STEPS_BONSAI, srgb=True, hint=None):
-            img, _ovf = render_exact(pk, camera_uniform, width, height,
-                                     max_steps=max_steps, srgb=srgb)
-            return img
+            img, _ovf, deg = render_exact(pk, camera_uniform, width, height,
+                                          max_steps=max_steps, srgb=srgb)
+            return img, deg
 
         return render, pack
 
@@ -524,12 +534,12 @@ def build_hybrid_renderer(vol_u8, intermediate: int = 512,
         pair = _pair_mode(r.dims, width, height, r.win_cap)
         win = min(auto_win_rows(r.dims, width, height, 2 if pair else 1),
                   r.win_cap)
-        img, _ovf, _deg = _render_hybrid(
+        img, _ovf, deg = _render_hybrid(
             packs, layouts, camera_uniform, jnp.float32(thresh),
             width, height, intermediate, budget, srgb,
             r.dims, win, r.band_rows, r.nb, r.bstride, max_steps,
             wwin, wwu, pair,
         )
-        return img
+        return img, deg
 
     return render, pack
