@@ -413,6 +413,33 @@ def test_render_fast_aux_consistency():
     assert img[..., :3][(bad & 1) == 1].max(initial=0.0) == 0.0  # -> black
 
 
+def test_window_any_matches_window_counts():
+    """The vectorized occupied-window test (_window_any, round 5: the
+    prefix-sum take_along_axis gathers ran scalar-rate on TPU) must agree
+    with `_window_counts(...) > 0` on every window class: interior,
+    clipped-low/high, inverted-empty, and the -1e6 pad sentinel."""
+    import jax.numpy as jnp
+    from vokselis_tpu.ops.shear_warp import _window_any, _window_counts
+
+    rng = np.random.default_rng(7)
+    g, ng, nwin = 24, 32, 16
+    tab = jnp.asarray(rng.random((g, ng)) > 0.6)
+    cum = jnp.pad(jnp.cumsum(tab.astype(jnp.int32), axis=1), ((0, 0), (1, 0)))
+
+    lo = jnp.asarray(rng.uniform(-40.0, 8.0 * ng + 40.0, (g, nwin)),
+                     jnp.float32)
+    span = jnp.asarray(rng.uniform(0.0, 120.0, (g, nwin)), jnp.float32)
+    hi = lo + span
+    # sprinkle pad sentinels and inverted windows
+    lo = lo.at[0].set(-1e6)
+    hi = hi.at[0].set(-1e6)
+    hi = hi.at[1].set(lo[1] - 50.0)
+
+    want = np.asarray(_window_counts(cum, lo, hi) > 0)
+    got = np.asarray(_window_any(tab, lo, hi))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_traced_degraded_flag():
     """The functional hybrid API under an outer jit flags degenerate poses
     (zoom-0.6 close-up: s_near collapse) and passes clean poses — the

@@ -39,6 +39,7 @@ W = H = 1024
 ERR_MARGIN = 8e-4  # margin under the 1e-3 budget for sweep-wide safety
 ERR_TARGET = 1e-3  # the north-star error budget itself
 MRAYS_TARGET = 500.0
+N_REPEATS = int(os.environ.get("VOK_OPPOINT_REPEATS", "3"))
 
 
 def main():
@@ -116,9 +117,17 @@ def main():
             return lambda: jf(fpack, u0.view_position, u0.proj_view,
                               u0.inv_proj)
 
-        sec = slope_time(build)
-        rec = {"budget": budget, "ii": ii, "ms": round(sec * 1000, 3),
-               "mrays": round(W * H / sec / 1e6, 1),
+        # round-5 VERDICT #4: per-point REPEATS with spread, no hand-
+        # discarded anomalies — every timing claim quotes mean +- spread.
+        # Each repeat is an independent slope_time (which itself medians
+        # 5 1-vs-N slope estimates); the jit cache makes repeats cheap.
+        reps = [slope_time(build) * 1000 for _ in range(N_REPEATS)]
+        ms_mean = float(np.mean(reps))
+        ms_spread = float(np.max(reps) - np.min(reps))
+        rec = {"budget": budget, "ii": ii, "ms": round(ms_mean, 3),
+               "ms_reps": [round(r, 3) for r in reps],
+               "ms_spread": round(ms_spread, 3),
+               "mrays": round(W * H / (ms_mean / 1000) / 1e6, 1),
                "errs": {k: round(v, 9) for k, v in errs.items()},
                "wall_s": round(time.time() - t0, 1)}
         results.append(rec)
@@ -126,16 +135,24 @@ def main():
         ckpt.flush()
         print(rec, flush=True)
 
-    # cost-model fit ms = a + b*budget over the measured ladder (the
-    # decomposition CLAUDE.md tracks: intercept = fast frame + scoring/
-    # merge tax, slope = per-tile re-march cost)
+    # cost-model fit ms = a + b*budget over the FULL measured ladder,
+    # every repeat an independent point (round-4 verdict: the 2-point
+    # fit with a hand-discarded budget-32 anomaly steered the round;
+    # now all points weigh in and the residual spread is reported).
     # budget=0 bypasses scoring entirely — keep it out of the linear fit
     # (it measures the pure-fast floor, not the hybrid's intercept)
     fitr = [r for r in results if r["budget"] > 0]
-    bs = np.array([r["budget"] for r in fitr], np.float64)
-    ms = np.array([r["ms"] for r in fitr], np.float64)
-    slope, intercept = (np.polyfit(bs, ms, 1).tolist()
-                        if len(fitr) >= 2 else (0.0, float(ms[0])))
+    bs = np.array([float(r["budget"]) for r in fitr
+                   for _ in r.get("ms_reps", [r["ms"]])], np.float64)
+    ms = np.array([m for r in fitr
+                   for m in r.get("ms_reps", [r["ms"]])], np.float64)
+    if len(fitr) >= 2:
+        slope, intercept = np.polyfit(bs, ms, 1).tolist()
+        resid = float(np.sqrt(np.mean(
+            (ms - (intercept + slope * bs)) ** 2)))
+    else:
+        slope, intercept = 0.0, float(ms[0]) if len(ms) else 0.0
+        resid = 0.0
     b0 = next((r["ms"] for r in results if r["budget"] == 0), None)
 
     conj = [r for r in results
@@ -158,7 +175,10 @@ def main():
     out = {"operating_point": chosen,
            "fit": {"intercept_ms": round(intercept, 3),
                    "slope_ms_per_tile": round(slope, 5),
+                   "fit_rms_resid_ms": round(resid, 3),
+                   "n_fit_points": int(len(ms)),
                    "pure_fast_ms": b0},
+           "ladder": results,
            "note": ("conjunction satisfied" if is_conj else
                     "no 500-Mrays/s conjunction on this chip; operating "
                     "point = fastest error-clearing budget" if chosen else

@@ -119,14 +119,14 @@ def main():
 
     def res_body(eps, vol, pu, pv):
         r = resample_slabs(vol, pu + eps, pv)
-        return r[0, 0, 0, 0, 0, 0].astype(jnp.float32)
+        return r[0, 0, 0, 0, 0].astype(jnp.float32)
     record("resample", lambda: slope_time(loop(res_body, volm, pos_u0, pos_v0)))
 
     def occ_body(eps, res):
-        occ = jnp.max(res.astype(jnp.float32) + eps, axis=(3, 4, 5)) > OCC_EPS
+        # round-5 layout: (C, nrb, 8, 8, I); occ_b is per ROW-BLOCK
+        occ = jnp.max(res.astype(jnp.float32) + eps, axis=(2, 3, 4)) > OCC_EPS
         c = res.shape[0]
-        n_blocks = res.shape[1] * res.shape[2]
-        occ_b = occ.transpose(1, 2, 0).reshape(n_blocks, c)
+        occ_b = occ.T  # (nrb, C)
         cids = jnp.arange(c, dtype=jnp.int32)
         key = jnp.where(occ_b, cids[None, :], jnp.int32(2 * c))
         ids = jnp.argsort(key, axis=1).astype(jnp.int32)

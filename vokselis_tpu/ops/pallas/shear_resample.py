@@ -4,27 +4,30 @@ Round-2's pipeline materialized the (G, I, I) resampled slab stack through
 XLA (weights in HBM, two dot_generals, an occupancy pass, a relayout
 transpose) and then composited it with a per-slab ``lax.cond`` fori — the
 round-3 profile (tools/profile_fast.py) put that composite at ~4.6-5 ms of
-the 5.5 ms frame at I=512: 256 slabs x 256 blocks of dynamic-loop
-iterations, each paying the Mosaic fixed iteration cost plus ~5
-transcendentals, with the occupancy skip still charging loop+cond overhead
-for every EMPTY slab.
+the 5.5 ms frame at I=512.
 
-This module restructures both halves around the march kernel's proven
-occupancy-compaction pattern (ops.pallas.march_bonsai):
+Round 5 restructured BOTH kernels around the measured bottleneck: the
+round-3/4 shape ran a (gp, n_ub) resample grid and an (nrb * n_ub)
+composite grid, and the stage split (tools/profile_fast2.py, round 5)
+showed the cost was ~1.1 us of FIXED overhead per grid step, not compute —
+resample at I=1024 measured 2.17 ms for ~0.17 ms of MXU work (2048 steps,
+with the (D, D) volume slab re-DMA'd once per u-block), composite 1.60 ms
+(1024 while-loop steps). So:
 
-- ``resample_slabs``: ONE Pallas kernel builds the bilinear weights
-  on-the-fly in VMEM (wu (D,128) per u-block, wv (D,I) once per slab) and
-  runs both MXU matmuls, writing the resampled slab directly in the
-  composite's chunked block layout — (chunk, row-block, u-block, slab, 8,
-  128) bf16. The weight stacks, the f32 (G, I, I) intermediate and the
-  relayout transpose never touch HBM.
-- ``composite_chunks``: per (8, 128) block, XLA compacts the occupied
-  8-slab chunks into a scalar-prefetched, marching-ordered id list; the
-  kernel double-buffers one 16 KiB DMA per OCCUPIED chunk and composites
-  its 8 slabs with a statically unrolled loop — empty space costs nothing
-  (no iteration, no cond, no DMA), saturated blocks skip chunk compute via
-  one reduce, and every DMA start has an unconditional matching wait
-  (starts are strictly index-gated below the loop bound).
+- ``resample_slabs``: ONE grid step per SLAB (gp steps) builds both
+  full-width hat-weight stacks in VMEM and runs both MXU matmuls at the
+  intermediate's full lane width, writing the slab straight into the
+  composite's chunked block layout — (chunk, row-block, slab, 8, I) bf16,
+  a NATURAL row split of the (I, I) slab (the old (..., n_ub, 8, 128)
+  layout needed an in-kernel relayout). The volume slab is DMA'd once per
+  slab instead of once per (slab, u-block).
+- ``composite_chunks``: one grid step per ROW-BLOCK (nrb steps, n_ub x
+  fewer), compositing (8, I)-wide state; per occupied chunk ONE DMA of
+  (8 slabs, 8, I) — n_ub x fewer, n_ub x bigger. Empty space still costs
+  nothing (occupied-chunk ids are scalar-prefetched in marching order),
+  saturated blocks skip chunk compute via one reduce, and every DMA start
+  has an unconditional matching wait (starts are strictly index-gated
+  below the loop bound).
 
 Matches shaders/raycast_naive.wgsl:101-117 through the shared
 bonsai_transfer_soa + the two exact composite corrections documented in
@@ -69,93 +72,50 @@ _EXACT_TRANSFER = os.environ.get("VOK_EXACT_TRANSFER", "0") == "1"
 OCC_EPS = 0.1  # slabs whose block max <= 0.1 are no-ops: smoothstep(0.10,..)
 
 
-def _resample_kernel(
-    pos_u_ref,  # (gp, 128) f32 — all slabs' u positions for this u-block
-    pos_v_ref,  # (gp, I) f32 — all slabs' v positions
-    vol_ref,  # (1, D, D) volume slab (bf16)
-    out_ref,  # (1, nrb, 1, 1, 8, 128) chunked-layout slab block
-    wv_ref,  # scratch (D, I) weights, built once per slab (ub == 0)
-    *,
-    d: int,
-    ii: int,
-    nrb: int,
-):
-    k = pl.program_id(0)
-    ub = pl.program_id(1)
+def _resample_body(k, pos_u_ref, pos_v_ref, vol_ref, out_ref, *, d, ii, nrb):
+    """Shared slab-resample body: full-width hat weights + both MXU
+    matmuls for slab k, written as the natural (nrb, 8, I) row split."""
+    # wv stored TRANSPOSED (D rows, I lanes): iota rides sublanes, the
+    # position row broadcasts over lanes — no (1, I) -> (I, 1) relayout
+    dv = lax.broadcasted_iota(jnp.int32, (d, ii), 0).astype(jnp.float32)
+    pv = pos_v_ref[pl.ds(k, 1), :]  # (1, I)
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(pv - dv)).astype(_SLAB_DTYPE)
+    pu = pos_u_ref[pl.ds(k, 1), :]  # (1, I)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu - dv)).astype(_SLAB_DTYPE)
 
-    @pl.when(ub == 0)
-    def _():
-        # wv stored TRANSPOSED (D rows, I lanes): iota rides sublanes, the
-        # position row broadcasts over lanes — no (1, I) -> (I, 1) relayout
-        dv = lax.broadcasted_iota(jnp.int32, (d, ii), 0).astype(jnp.float32)
-        pv = pos_v_ref[pl.ds(k, 1), :]  # (1, I)
-        wv_ref[:] = jnp.maximum(0.0, 1.0 - jnp.abs(pv - dv)).astype(
-            _SLAB_DTYPE
-        )
-
-    du = lax.broadcasted_iota(jnp.int32, (d, 128), 0).astype(jnp.float32)
-    pu = pos_u_ref[pl.ds(k, 1), :]  # (1, 128)
-    wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu - du)).astype(_SLAB_DTYPE)
-
-    # tmp[dv, u] = sum_du vol[dv, du] wu[du, u] — (D, D) @ (D, 128) MXU
+    # tmp[dv, u] = sum_du vol[dv, du] wu[du, u] — (D, D) @ (D, I) MXU
     tmp = lax.dot_general(
         vol_ref[0], wu, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(_SLAB_DTYPE)
     # res[i, u] = sum_dv wv_t[dv, i] tmp[dv, u] — contract sublanes of both
     res = lax.dot_general(
-        wv_ref[:], tmp, (((0,), (0,)), ((), ())),
+        wv, tmp, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (I, 128) f32
+    )  # (I, I) f32
+    out_ref[0, :, 0, :, :] = res.reshape(nrb, 8, ii).astype(_SLAB_DTYPE)
 
-    out_ref[0, :, 0, 0, :, :] = res.reshape(nrb, 8, 128).astype(_SLAB_DTYPE)
+
+def _resample_kernel(pos_u_ref, pos_v_ref, vol_ref, out_ref, *, d, ii, nrb):
+    _resample_body(pl.program_id(0), pos_u_ref, pos_v_ref, vol_ref, out_ref,
+                   d=d, ii=ii, nrb=nrb)
 
 
-def _resample_kernel_gated(
-    occ_ref,  # scalar-prefetch (gp * n_ub,): volume-side pair occupancy
-    pos_u_ref, pos_v_ref, vol_ref, out_ref, wv_ref,
-    *,
-    d: int,
-    ii: int,
-    nrb: int,
-    n_ub: int,
-):
+def _resample_kernel_gated(occ_ref, pos_u_ref, pos_v_ref, vol_ref, out_ref,
+                           *, d, ii, nrb):
     k = pl.program_id(0)
-    ub = pl.program_id(1)
-    hot = occ_ref[k * n_ub + ub] > 0
-
-    # wv build stays UNGATED: slab k's later u-blocks may be hot while
-    # (k, 0) is empty — gating it inside `hot` would feed them a stale wv
-    @pl.when(ub == 0)
-    def _():
-        dv = lax.broadcasted_iota(jnp.int32, (d, ii), 0).astype(jnp.float32)
-        pv = pos_v_ref[pl.ds(k, 1), :]  # (1, I)
-        wv_ref[:] = jnp.maximum(0.0, 1.0 - jnp.abs(pv - dv)).astype(
-            _SLAB_DTYPE
-        )
+    hot = occ_ref[k] > 0
 
     @pl.when(hot)
     def _():
-        du = lax.broadcasted_iota(jnp.int32, (d, 128), 0).astype(jnp.float32)
-        pu = pos_u_ref[pl.ds(k, 1), :]  # (1, 128)
-        wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu - du)).astype(_SLAB_DTYPE)
-        tmp = lax.dot_general(
-            vol_ref[0], wu, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(_SLAB_DTYPE)
-        res = lax.dot_general(
-            wv_ref[:], tmp, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (I, 128) f32
-        out_ref[0, :, 0, 0, :, :] = res.reshape(nrb, 8, 128).astype(
-            _SLAB_DTYPE
-        )
+        _resample_body(k, pos_u_ref, pos_v_ref, vol_ref, out_ref,
+                       d=d, ii=ii, nrb=nrb)
 
     @pl.when(jnp.logical_not(hot))
     def _():
-        # an empty window resamples below OCC_EPS -> transfer 0; write
-        # real zeros so un-gated composite chunks stay exact
-        out_ref[0, :, 0, 0, :, :] = jnp.zeros((nrb, 8, 128), _SLAB_DTYPE)
+        # an empty slab resamples below OCC_EPS -> transfer 0; write real
+        # zeros so un-gated composite chunks stay exact
+        out_ref[0, :, 0, :, :] = jnp.zeros((nrb, 8, ii), _SLAB_DTYPE)
 
 
 def resample_slabs(volm, pos_u, pos_v, occ=None, interpret: bool = False):
@@ -164,52 +124,47 @@ def resample_slabs(volm, pos_u, pos_v, occ=None, interpret: bool = False):
     volm: (G, D, D) bf16 half-shifted slab-major volume (axis m pack).
     pos_u/pos_v: (gp, I) f32 ref-plane sample positions per slab (rows
     k >= G padded with an off-grid sentinel so their weights are all 0).
-    occ: optional (gp * n_ub,) int32 volume-side pair occupancy
-    (shear_warp's static group tables): empty pairs skip both matmuls and
-    write zeros.
-    Returns res: (C, nrb, n_ub, 8, 8, 128) with C = gp//8 slab chunks.
+    occ: optional (gp,) int32 PER-SLAB occupancy gate (any window of the
+    slab hot — shear_warp derives it from the static group tables):
+    cold slabs skip both matmuls and write zeros.
+    Returns res: (C, nrb, 8, 8, I) with C = gp//8 slab chunks — chunk c,
+    row-block rb, slab s within the chunk, 8 intermediate rows, I cols.
     """
     g, d, _ = volm.shape
     gp, ii = pos_u.shape
     assert gp % 8 == 0 and ii % 128 == 0 and ii % 8 == 0
-    n_ub = ii // 128
     nrb = ii // 8
     c = gp // 8
 
     out_spec = pl.BlockSpec(
-        (1, nrb, 1, 1, 8, 128),
-        lambda k, ub, *_: (k // 8, 0, ub, k % 8, 0, 0),
+        (1, nrb, 1, 8, ii),
+        lambda k, *_: (k // 8, 0, k % 8, 0, 0),
         memory_space=pltpu.VMEM,
     )
     in_specs = [
-        pl.BlockSpec((gp, 128), lambda k, ub, *_: (0, ub),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((gp, ii), lambda k, ub, *_: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, d, d), lambda k, ub, *_: (jnp.minimum(k, g - 1), 0, 0),
+        pl.BlockSpec((gp, ii), lambda k, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gp, ii), lambda k, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, d), lambda k, *_: (jnp.minimum(k, g - 1), 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = jax.ShapeDtypeStruct((c, nrb, n_ub, 8, 8, 128), _SLAB_DTYPE)
-    scratch = [pltpu.VMEM((d, ii), _SLAB_DTYPE)]
+    out_shape = jax.ShapeDtypeStruct((c, nrb, 8, 8, ii), _SLAB_DTYPE)
     if occ is None:
         return pl.pallas_call(
             partial(_resample_kernel, d=d, ii=ii, nrb=nrb),
-            grid=(gp, n_ub),
+            grid=(gp,),
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=out_shape,
-            scratch_shapes=scratch,
             interpret=interpret,
         )(pos_u, pos_v, volm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(gp, n_ub),
+        grid=(gp,),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        partial(_resample_kernel_gated, d=d, ii=ii, nrb=nrb, n_ub=n_ub),
+        partial(_resample_kernel_gated, d=d, ii=ii, nrb=nrb),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -218,29 +173,29 @@ def resample_slabs(volm, pos_u, pos_v, occ=None, interpret: bool = False):
 
 def _composite_chunks_kernel(
     meta_ref,  # scalar-prefetch (1,): sgn
-    nocc_ref,  # scalar-prefetch (n_blocks,): occupied-chunk counts
-    ids_ref,  # scalar-prefetch (n_blocks * C,): marching-ordered chunk ids
-    res_hbm,  # (C * n_blocks, 8, 8, 128) chunked slab stacks
-    irho_ref,  # (8, 128) per-pixel exact steps per slab
+    nocc_ref,  # scalar-prefetch (nrb,): occupied-chunk counts per row-block
+    ids_ref,  # scalar-prefetch (nrb * C,): marching-ordered chunk ids
+    res_hbm,  # (C * nrb, 8, 8, I) chunked slab stacks
+    irho_ref,  # (8, I) per-pixel exact steps per slab
     out_r, out_g, out_b, out_a,
-    buf_a, buf_b,  # scratch (8, 8, 128)
+    buf_a, buf_b,  # scratch (8, 8, I)
     sem_a, sem_b,
     *,
-    n_blocks: int,
+    nrb: int,
     c: int,
 ):
     ti = pl.program_id(0)
     sgn = meta_ref[0]
     n = nocc_ref[ti]
     irho = irho_ref[:]
-    zero = jnp.zeros((8, 128), jnp.float32)
+    zero = jnp.zeros_like(irho)
 
     def cid(t):
         return ids_ref[ti * c + jnp.clip(t, 0, c - 1)]
 
     def dma(buf, sem, t):
         return pltpu.make_async_copy(
-            res_hbm.at[cid(t) * n_blocks + ti], buf, sem
+            res_hbm.at[cid(t) * nrb + ti], buf, sem
         )
 
     def process(buf, t, carry):
@@ -328,64 +283,55 @@ def _composite_chunks_kernel(
 def composite_chunks(res, sgn, irho, occ_b=None, interpret: bool = False):
     """Chunk-compacted front-to-back composite.
 
-    res: (C, nrb, n_ub, 8, 8, 128) chunked slab stacks (resample_slabs).
+    res: (C, nrb, 8, 8, I) chunked slab stacks (resample_slabs).
     sgn: traced +-1 marching direction along the slab axis.
     irho: (I, I) per-pixel exact steps per slab (>= 1).
-    occ_b: optional (nrb * n_ub, C) bool chunk occupancy (shear_warp's
-    volume-side tables); without it, one full reduce over ``res`` derives
-    it from the resampled values.
+    occ_b: optional (nrb, C) bool chunk occupancy per ROW-BLOCK
+    (shear_warp derives it from the volume-side tables); without it, one
+    full reduce over ``res`` derives it from the resampled values.
     Returns (r, g, b, a) planes, each (I, I) f32.
     """
-    c, nrb, n_ub, _, _, _ = res.shape
-    ii = nrb * 8
-    iw = n_ub * 128
-    n_blocks = nrb * n_ub
+    c, nrb, _, _, ii = res.shape
 
     if occ_b is None:
         # occupied-chunk compaction at the composite's granularity: one
-        # reduce over the chunked stack, then tiny n_blocks x C math
+        # reduce over the chunked stack, then tiny nrb x C math
         occ = jnp.max(
-            res.astype(jnp.float32), axis=(3, 4, 5)
-        ) > OCC_EPS  # (C, nrb, n_ub)
-        occ_b = occ.transpose(1, 2, 0).reshape(n_blocks, c)
+            res.astype(jnp.float32), axis=(2, 3, 4)
+        ) > OCC_EPS  # (C, nrb)
+        occ_b = occ.T  # (nrb, C)
     cids = jnp.arange(c, dtype=jnp.int32)
     ord_pos = jnp.where(sgn > 0, cids, c - 1 - cids)
     key = jnp.where(occ_b, ord_pos[None, :], jnp.int32(2 * c))
     ids = jnp.argsort(key, axis=1).astype(jnp.int32).reshape(-1)
     nocc = occ_b.sum(axis=1).astype(jnp.int32)
 
-    irho_blocks = irho.reshape(nrb, 8, n_ub, 128).transpose(0, 2, 1, 3).reshape(
-        n_blocks * 8, 128
-    )
     meta = jnp.asarray([sgn], jnp.int32).reshape(1)
-    res_flat = res.reshape(c * n_blocks, 8, 8, 128)
+    res_flat = res.reshape(c * nrb, 8, 8, ii)
 
     block_spec = pl.BlockSpec(
-        (8, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        (8, ii), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_blocks,),
+        grid=(nrb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), block_spec],
         out_specs=[block_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((8, 8, 128), _SLAB_DTYPE),
-            pltpu.VMEM((8, 8, 128), _SLAB_DTYPE),
+            pltpu.VMEM((8, 8, ii), _SLAB_DTYPE),
+            pltpu.VMEM((8, 8, ii), _SLAB_DTYPE),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     outs = pl.pallas_call(
-        partial(_composite_chunks_kernel, n_blocks=n_blocks, c=c),
+        partial(_composite_chunks_kernel, nrb=nrb, c=c),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((ii, ii), jnp.float32)] * 4,
         interpret=interpret,
-    )(meta, nocc, ids, res_flat, irho_blocks)
+    )(meta, nocc, ids, res_flat, irho)
 
-    return [
-        o.reshape(nrb, n_ub, 8, 128).transpose(0, 2, 1, 3).reshape(ii, iw)
-        for o in outs
-    ]
+    return outs
 
 
 def resample_composite(volm, pos_u, pos_v, sgn, irho, occ=None, occ_b=None,

@@ -127,6 +127,26 @@ def _window_counts(cum, pos_lo, pos_hi):
             - jnp.take_along_axis(cum, gl, axis=1))
 
 
+def _window_any(tab, pos_lo, pos_hi):
+    """Occupied-window test: does any occupied group of ``tab`` (G, ng)
+    bool intersect the [pos_lo-1, pos_hi+1] window (both (G, nwin))?
+    Same group arithmetic as _window_counts but as a broadcast
+    mask-reduce over the ng axis instead of prefix-sum gathers: the two
+    take_along_axis calls ran at SCALAR rate on TPU (occ2_v alone is
+    2 x G x nrb = 32k gathers at I=512 — the bulk of the measured
+    0.25 ms occ-chain tax, round-5 prelude probe); the mask-reduce is
+    ~G*nwin*ng/1024 vector ops (~500 at I=512)."""
+    ng = tab.shape[1]
+    gl = jnp.clip(jnp.floor((pos_lo - 1.0) / 8.0), 0.0, float(ng))
+    gh = jnp.floor((pos_hi + 1.0) / 8.0)
+    gidx = jnp.arange(ng, dtype=jnp.float32)
+    # group g participates when gl <= g <= gh (gh is inclusive here:
+    # _window_counts' exclusive bound is floor(..)+1)
+    m = ((gidx[None, None, :] >= gl[:, :, None])
+         & (gidx[None, None, :] <= gh[:, :, None]))
+    return jnp.any(m & tab[:, None, :], axis=2)
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "intermediate", "srgb", "exit_every",
@@ -326,22 +346,19 @@ def _render_fast(
         pos_v = jnp.where(valid, pos_v, -1e6)
         sgn_i = jnp.where(sgn > 0, 1, -1).astype(jnp.int32)
 
-        occ2_u = occ_b = None
+        occ_k = occ_b = None
         if len(packs) >= 4:
-            # volume-side occupancy: per-(slab, u-block) gate for the
-            # resample and per-(block, chunk) compaction for the composite
-            # from the static group tables — replaces the full resampled-
-            # stack reduce and skips empty-pair matmuls
+            # volume-side occupancy: per-slab gate for the resample and
+            # per-(row-block, chunk) compaction for the composite from the
+            # static group tables — replaces the full resampled-stack
+            # reduce and skips empty-slab matmuls
             tab_u, tab_v = packs[3]
             tu = lax.switch(m, [lambda i=i: tab_u[i] for i in range(3)])
             tv_tab = lax.switch(m, [lambda i=i: tab_v[i] for i in range(3)])
 
-            def cum_of(tab):
-                c = jnp.cumsum(tab.astype(jnp.int32), axis=1)
-                c = jnp.pad(c, ((0, gp - tab.shape[0]), (1, 0)))
-                return c
+            def pad_tab(tab):
+                return jnp.pad(tab, ((0, gp - tab.shape[0]), (0, 0)))
 
-            cum_u, cum_v = cum_of(tu), cum_of(tv_tab)
             n_ub = ii // 128
             nrb = ii // 8
             # pos_* are affine per slab -> block windows from endpoints
@@ -351,14 +368,16 @@ def _render_fast(
             u_hi_b = jnp.maximum(pu_e[:, :, 0], pu_e[:, :, -1])
             v_lo_b = jnp.minimum(pv_e[:, :, 0], pv_e[:, :, -1])
             v_hi_b = jnp.maximum(pv_e[:, :, 0], pv_e[:, :, -1])
-            occ2_u = (_window_counts(cum_u, u_lo_b, u_hi_b) > 0)  # (gp, n_ub)
-            occ2_v = (_window_counts(cum_v, v_lo_b, v_hi_b) > 0)  # (gp, nrb)
-            pair = occ2_v[:, :, None] & occ2_u[:, None, :]  # (gp, nrb, n_ub)
-            occ_chunk = pair.reshape(gp // 8, 8, nrb, n_ub).any(axis=1)
-            occ_b = occ_chunk.transpose(1, 2, 0).reshape(nrb * n_ub, gp // 8)
-            occ2_u = occ2_u.reshape(-1).astype(jnp.int32)
+            occ2_u = _window_any(pad_tab(tu), u_lo_b, u_hi_b)  # (gp, n_ub)
+            occ2_v = _window_any(pad_tab(tv_tab), v_lo_b, v_hi_b)  # (gp, nrb)
+            any_u = occ2_u.any(axis=1)  # (gp,)
+            occ_k = (any_u & occ2_v.any(axis=1)).astype(jnp.int32)
+            # row-block rb needs slab k when its v window is hot AND the
+            # slab has any hot u window (the resample is full-width now)
+            occ_rb = occ2_v & any_u[:, None]  # (gp, nrb)
+            occ_b = occ_rb.reshape(gp // 8, 8, nrb).any(axis=1).T  # (nrb, C)
 
-        res = resample_slabs(volm, pos_u, pos_v, occ=occ2_u)
+        res = resample_slabs(volm, pos_u, pos_v, occ=occ_k)
         r, g, b, a = composite_chunks(res, sgn_i, irho, occ_b=occ_b)
         return _warp_to_screen(r, g, b, a, hitf, xr_u, xr_v,
                                u_lo, v_lo, su, sv, height,
