@@ -47,7 +47,7 @@ def test_field_kernel_matches_oracle():
     img_p = np.asarray(
         mf.render_field_pallas(
             u, 0.0, width=32, height=32, tile_h=16, tile_w=128, max_steps=32,
-            sphere_clip=False,
+            sphere_clip=False, grad="fd",
         )
     )
     img_o = np.asarray(render_compute_inline(u, width=32, height=32, max_steps=32))
@@ -240,7 +240,7 @@ def test_field_kernel_nonzero_time_all_combos():
             mf.render_field_pallas(
                 u, t, width=32, height=32, field=field, shading=shading,
                 quantize=quantize, tile_h=16, tile_w=128, max_steps=32,
-                sphere_clip=False,
+                sphere_clip=False, grad="fd",
             )
         )
         img_o = np.asarray(oracle())
@@ -263,7 +263,7 @@ def test_field_kernel_sphere_clip_parity():
     img_p = np.asarray(
         mf.render_field_pallas(
             u, 0.0, width=16, height=16, tile_h=8, tile_w=128,
-            sphere_clip=True,
+            sphere_clip=True, grad="fd",
         )
     )
     img_o = np.asarray(render_compute_inline(u, width=16, height=16))

@@ -27,6 +27,7 @@ Shading modes:
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -41,6 +42,15 @@ from vokselis_tpu.utils.grid import cdiv, round_up
 from vokselis_tpu.volume import fields_soa
 
 MAX_STEPS_COMPUTE = int(math.ceil(2.0 * math.sqrt(3.0) / 0.01)) + 1  # 348
+
+# Normal source for the fused noise+xor march: "analytic" (default)
+# differentiates alpha in closed form from the SAME 24 corner hashes the
+# value needs (24 hash sins/step), "fd" reproduces the reference's
+# eps=1e-4 one-sided difference bit-identically to the oracle (60
+# sins/step — the hash-shared fbm4). The march is transcendental-bound,
+# so this is config 2's speed dial; the measured frame delta between the
+# two lives in tools/xor_grad_probe.py / PARITY_REPORT.md.
+_XOR_GRAD = os.environ.get("VOK_XOR_GRAD", "analytic")
 
 _CLEAR = (0.023, 0.02, 0.02, 0.0)  # raycast_compute.wgsl:119
 _L_DIR = (-2.0, -2.0, -1.0)
@@ -58,6 +68,7 @@ def _march_kernel(
     dims: int,
     quantize: bool,
     max_steps: int,
+    grad: str = "fd",
 ):
     # time_ref holds [raw_time, sin(time)]: the xor/noise fields take
     # sin(time) (shaders/xor.wgsl:56 samples sin_t precomputed per frame);
@@ -145,15 +156,19 @@ def _march_kernel(
         cx, cy, cz = quant_coords(px, py, pz)
 
         if shading == "xor" and field == "noise":
-            # fused hash-shared eval: density, alpha AND the one-sided
-            # gradient from ONE fbm4 (60 sins per step instead of 120 —
-            # bit-identical; see fields_soa). A per-step alpha-gated skip
-            # of the offsets measured SLOWER (18.6 vs 19.6 Mrays/s): the
-            # fbm is nonzero almost everywhere inside its sphere window,
-            # so the cond never fires and only adds a reduce per step.
-            val, valpha, nx, ny, nz = fields_soa.noise_volume_grad(
-                cx, cy, cz, sin_t
-            )
+            # fused eval: density, alpha AND the normal in one pass.
+            # grad="analytic": closed-form gradient from the value's own
+            # 24 corner hashes (fields_soa.fbm_grad_base — zero extra
+            # sins); grad="fd": the reference's one-sided difference,
+            # hash-shared (60 sins per step, bit-identical to the oracle;
+            # see fields_soa.fbm4). A per-step alpha-gated skip of the
+            # offsets measured SLOWER (18.6 vs 19.6 Mrays/s): the fbm is
+            # nonzero almost everywhere inside its sphere window, so the
+            # cond never fires and only adds a reduce per step.
+            grad_fn = (fields_soa.noise_volume_grad_analytic
+                       if grad == "analytic"
+                       else fields_soa.noise_volume_grad)
+            val, valpha, nx, ny, nz = grad_fn(cx, cy, cz, sin_t)
             vol_alpha = smoothstep(0.0, 0.7, valpha * valpha * valpha)
             cr, cg, cb = xor_shade(val, nx, ny, nz, px, py, pz)
             r, g, b, a = composite(active, vol_alpha, cr, cg, cb, r, g, b, a)
@@ -191,6 +206,7 @@ def _march_kernel(
     static_argnames=(
         "width", "height", "field", "shading", "dims", "quantize",
         "max_steps", "tile_h", "tile_w", "interpret", "sphere_clip",
+        "grad",
     ),
 )
 def render_field_pallas(
@@ -209,10 +225,16 @@ def render_field_pallas(
     tile_w: int = 128,
     interpret: bool = False,
     sphere_clip: bool = True,
+    grad: str | None = None,
 ):
     """Render the compute path with the field evaluated inline in a fused
     Pallas kernel. Returns (height, width, 4) f32, matching
-    :func:`vokselis_tpu.ops.reference.render_compute_inline`."""
+    :func:`vokselis_tpu.ops.reference.render_compute_inline` (exactly with
+    ``grad="fd"``; the default ``grad="analytic"`` swaps the one-sided-
+    difference normal for the closed-form gradient — measured frame delta
+    in PARITY_REPORT.md, override default via VOK_XOR_GRAD)."""
+    if grad is None:
+        grad = _XOR_GRAD
     time = jnp.asarray(time, jnp.float32)
     # raygen + slab test in XLA (cheap, once per frame), SoA
     (ex, ey, ez), (dx, dy, dz) = geometry.rays_compute_soa(camera_uniform, width, height)
@@ -282,6 +304,7 @@ def render_field_pallas(
         dims=dims,
         quantize=quantize,
         max_steps=max_steps,
+        grad=grad,
     )
     out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 4
     r, g, b, a = pl.pallas_call(

@@ -312,10 +312,15 @@ def _warp_kernel_mxu(
 
 
 # VMEM budget for the resident-intermediate MXU kernel: (C, I, iw_pad)
-# bf16 input block + (C*win_rows, win_u) scratch + out blocks; 8 MiB
-# leaves room for double-buffered coords under the 16 MiB/core budget
-# (the hybrid's 4-channel I=768 intermediate pads to 1024 lanes = 6.3 MiB)
-_MXU_VMEM_CAP = 8 * 1024 * 1024
+# bf16 input block + (C*win_rows, win_u) scratch + out blocks. The input
+# block has a constant index map (resident once, not double-buffered);
+# only the small (8, 128) coord/out blocks pipeline, so 10 MiB of resident
+# intermediate still leaves ~6 MiB headroom under the 16 MiB/core budget.
+# 10 MiB admits the hybrid's 4-channel I=1024 stats intermediate (8.4 MiB
+# — round 5: I=1024 halves the warp's ~1/I reconstruction error, moving
+# the hybrid op point to budget 32; validated on-device by the OPPOINT
+# ladder), I=768 pads to 1024 lanes = 6.3 MiB.
+_MXU_VMEM_CAP = 10 * 1024 * 1024
 _MXU = os.environ.get("VOK_WARP_MXU", "1") == "1"
 
 # adaptive re-warp: max tiles re-warped at the big window per frame. The
