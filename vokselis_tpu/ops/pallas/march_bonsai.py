@@ -104,6 +104,15 @@ TILE = 32  # pixel tile edge; one (8,128) block = one 32x32 tile
 CHUNK = 8  # march slabs per DMA chunk (chunk holds CHUNK+1 slabs)
 OCC_V = 8  # v-rows per occupancy block
 OCC_U = 128  # u-cols per occupancy block
+# Occupancy VISIBILITY cutoff (EXACT, round 5): the transfer
+# tv = smoothstep(0.10, 1.2, min(0.9, samp)) is identically zero for
+# samp <= 0.1, and trilinear interpolation is convex, so a block whose
+# every voxel is <= floor(0.1 * 255) = 25 can never contribute — such
+# blocks are equivalent to empty for the march (raycast_naive.wgsl:
+# 106-108). Gating at > 25 instead of > 0 is what makes the config-5 fog
+# honest: the radially-masked fbm field has a wide alpha TAIL (~49% of
+# voxels nonzero) of which only the > 0.1 core is visible.
+OCC_CUT = 25
 # v-band start granularity: finer bands shrink each chunk DMA (measured
 # 50.1 -> 51.0 Mrays/s at 256^3 with stride 16) but multiply the layout's
 # HBM footprint; prepare_volume picks per volume size
@@ -697,8 +706,8 @@ def prepare_volume(vol_u8, max_win_rows: int = WIN_V, prequad: bool | None = Non
     nub = max(d // OCC_U, 1)
     occ3d = (
         chunks.reshape(chunks.shape[0], CHUNK + 1, d // OCC_V, OCC_V, nub, d // nub)
-        .any(axis=(1, 3, 5))
-    )
+        > OCC_CUT
+    ).any(axis=(1, 3, 5))
     occ = occ3d.astype(np.int32).reshape(-1)
     occ2d = occ3d.any(axis=2)
     nonempty = occ2d.reshape(6, n_chunks, -1).any(axis=2)
@@ -786,7 +795,7 @@ def prepare_volume_device(vol_u8, max_win_rows: int = WIN_V,
     occ3d = (
         chunks.reshape(chunks.shape[0], CHUNK + 1, d // OCC_V, OCC_V, nub,
                        d // nub)
-        > 0
+        > OCC_CUT
     ).any(axis=(1, 3, 5))
     occ = occ3d.astype(jnp.int32).reshape(-1)
     nonempty = occ3d.any(axis=(1, 2)).reshape(6, n_chunks)

@@ -182,8 +182,41 @@ def _warp_kernel_impl(
             outs[c][:] = t0c + (t1c - t0c) * fa
 
 
+def _roll_blocks(win_u: int, n_jb: int) -> int:
+    """Lane blocks a (.., win_u) window read must cover: the window start
+    u_b sits anywhere inside its 128-lane block (s = u_b - 128*jb <= 127),
+    so s + win_u <= nblk * 128 — rounded UP to a power of two because
+    pltpu.roll with a TRACED shift silently corrupts on non-power-of-two
+    lane widths (probed round 3: 384 wrong, 256/512 exact)."""
+    nblk = win_u // 128 + 1
+    return min(1 << (nblk - 1).bit_length(), n_jb)
+
+
+def _load_window(chans_ref, c, n_jb, v_b, u_b, win_rows, win_u):
+    """(win_rows, win_u) f32 window starting at (v_b, u_b) from the
+    lane-BLOCKED (C * n_jb, I, 128) intermediate: slice the 2 (or 4)
+    128-lane blocks the window can touch (traced leading index + dynamic
+    8-aligned sublane start), then ONE power-of-two-width roll. The old
+    layout rolled the full (win_rows, iw_pad) row span per channel per
+    tile — at I=1024 that is 4x the vector traffic the window needs, and
+    the roll was the measured bulk of the 1.31 ms warp (round-5 stage
+    split, tools/profile_fast2.py)."""
+    nblk = _roll_blocks(win_u, n_jb)
+    jb = jnp.clip(u_b // 128, 0, n_jb - nblk)
+    parts = [
+        chans_ref[c * n_jb + jb + j, pl.ds(v_b, win_rows), :]
+        for j in range(nblk)
+    ]
+    row = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+    if nblk == n_jb:
+        # the blocks span the whole row: s == u_b (jb clamped to 0)
+        return pltpu.roll(row, -u_b, 1)[:, :win_u]
+    s = u_b - jb * 128
+    return pltpu.roll(row, -s, 1)[:, :win_u]
+
+
 def _warp_kernel_mxu(
-    chans_ref,  # (C, I, iw_pad) bf16 — the WHOLE intermediate, VMEM-resident
+    chans_ref,  # (C * n_jb, I, 128) bf16 — lane-blocked, VMEM-resident
     avr, bur,  # (8, 128) fractional coords (v, u)
     hitr,  # (8, 128) 1.0 where the pixel participates in the window
     *rest,  # n_ch output refs, [overflow-flag ref], the window scratch
@@ -249,15 +282,14 @@ def _warp_kernel_mxu(
         )
         u_b = jnp.clip(u_lo.astype(jnp.int32), 0, max(iw_pad - win_u, 0))
 
+        n_jb = chans_ref.shape[0] // n_ch
         for c in range(n_ch):
             # chans are stored bf16 (the hat matmul runs bf16 regardless —
             # zero precision cost, half the VMEM/DMA) but the roll must run
             # f32: Mosaic's dynamic rotate is 32-bit-only ("Rotate with
             # non-32-bit data" compile error on a traced-shift bf16 roll)
-            rolled = pltpu.roll(
-                chans_ref[c, pl.ds(v_b, win_rows), :].astype(jnp.float32),
-                -u_b, 1,
-            )[:, :win_u]
+            rolled = _load_window(chans_ref, c, n_jb, v_b, u_b,
+                                  win_rows, win_u)
             if win_u < wk:  # clipped bu_l <= win_u-1 zeroes the pad's hats
                 rolled = jnp.pad(rolled, ((0, 0), (0, wk - win_u)))
             a_win[pl.ds(c * win_rows, win_rows), :] = rolled.astype(
@@ -335,6 +367,23 @@ _REWARP_ROWS = 128
 _REWARP_U = 256
 
 
+def _lane_blocked(chans_b):
+    """(C, I, iw_pad) -> (C * n_jb, I, 128): split the lane axis into
+    128-wide blocks and lift the block index to the leading dim, so the
+    warp kernels can pre-slice the 2 (or 4) blocks a window touches with
+    a traced leading index instead of rolling the full row span (see
+    _load_window). One XLA transpose per frame (~the array's own size in
+    vector traffic) buys a per-TILE saving."""
+    n_ch, ii, iw_pad = chans_b.shape
+    if iw_pad < 128:  # tiny intermediates: one partial block, zero-padded
+        chans_b = jnp.pad(chans_b, ((0, 0), (0, 0), (0, 128 - iw_pad)))
+        iw_pad = 128
+    n_jb = iw_pad // 128
+    return (chans_b.reshape(n_ch, ii, n_jb, 128)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_ch * n_jb, ii, 128))
+
+
 def mxu_adaptive_eligible(n_ch: int, ii: int) -> bool:
     """True when warp_bilinear_packed's MXU path will take over window
     sizing (two-pass adaptive) for an (n_ch, ii, ii) intermediate — the
@@ -404,7 +453,7 @@ def _stats_rows(vals):
 
 
 def _warp_kernel_mxu_stats(
-    chans_ref,  # (4, I, iw_pad) bf16 — rgb + curvature, VMEM-resident
+    chans_ref,  # (4 * n_jb, I, 128) bf16 — rgb + curvature, lane-blocked
     avr, bur,  # (8, 128) fractional coords (v, u)
     okr,  # (8, 128) 1.0 where the warp can reconstruct the pixel
     boxr,  # (8, 128) 1.0 where the ray hits the volume box
@@ -466,11 +515,10 @@ def _warp_kernel_mxu_stats(
         )
         u_b = jnp.clip(u_lo.astype(jnp.int32), 0, max(iw_pad - win_u, 0))
 
+        n_jb = chans_ref.shape[0] // 4
         for c in range(4):
-            rolled = pltpu.roll(
-                chans_ref[c, pl.ds(v_b, win_rows), :].astype(jnp.float32),
-                -u_b, 1,
-            )[:, :win_u]
+            rolled = _load_window(chans_ref, c, n_jb, v_b, u_b,
+                                  win_rows, win_u)
             if win_u < wk:
                 rolled = jnp.pad(rolled, ((0, 0), (0, wk - win_u)))
             a_win[pl.ds(c * win_rows, win_rows), :] = rolled.astype(
@@ -597,7 +645,7 @@ def _rewarp_overflow_tiles_stats(chans_b, av_p, bu_p, ok_p, box_p, planes,
         num_scalar_prefetch=1,
         grid=(n_sel,),
         in_specs=[
-            pl.BlockSpec((4, ii, iw_pad), lambda i, ids: (0, 0, 0),
+            pl.BlockSpec(chans_b.shape, lambda i, ids: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [id_block] * 8,
         out_specs=[id_block] * 4,
@@ -648,13 +696,13 @@ def warp_stats_packed(chans, av_p, bu_p, ok_p, box_p, height, width,
     win2_u = min(_REWARP_U, iw_pad)
     use2 = (_ADAPTIVE and adaptive and (win2 > win1 or win2_u > win1_u))
 
-    chans_b = chans.astype(jnp.bfloat16)
+    chans_b = _lane_blocked(chans.astype(jnp.bfloat16))
     outs = pl.pallas_call(
         partial(_warp_kernel_mxu_stats, ii=ii, iw=iw, iw_pad=iw_pad,
                 win_rows=win1, win_u=win1_u),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((4, ii, iw_pad), lambda i: (0, 0, 0),
+            pl.BlockSpec(chans_b.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [block] * 4,
         out_specs=[block] * 4,
@@ -713,7 +761,7 @@ def _rewarp_overflow_tiles(chans_b, av_p, bu_p, hit_p, planes,
         num_scalar_prefetch=1,
         grid=(n_sel,),
         in_specs=[
-            pl.BlockSpec((n_ch, ii, iw_pad), lambda i, ids: (0, 0, 0),
+            pl.BlockSpec(chans_b.shape, lambda i, ids: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [id_block] * (3 + n_out),
         out_specs=[id_block] * n_out,
@@ -793,14 +841,14 @@ def warp_bilinear_packed(chans, av_p, bu_p, hit_p, height, width,
             win1, win1_u = win_rows, win_u
         want1 = with_overflow or use2
         n_out1 = n_ch + (1 if want1 else 0)
-        chans_b = chans.astype(jnp.bfloat16)
+        chans_b = _lane_blocked(chans.astype(jnp.bfloat16))
         outs = pl.pallas_call(
             partial(_warp_kernel_mxu, ii=ii, iw=iw, iw_pad=iw_pad,
                     win_rows=win1, win_u=win1_u, n_ch=n_ch,
                     want_ovf=want1),
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((n_ch, ii, iw_pad), lambda i: (0, 0, 0),
+                pl.BlockSpec(chans_b.shape, lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + [block] * 3,
             out_specs=[block] * n_out1,
