@@ -41,7 +41,7 @@ import numpy as np
 from jax import lax
 
 W = H = 1024
-II = 512
+II = int(os.environ.get("VOK_PROBE_II", "512"))
 N_HI = int(os.environ.get("VOK_PROBE_NHI", "16"))
 
 
