@@ -490,9 +490,10 @@ def test_select_units_pair_semantics():
 
 
 def test_hybrid_pose_escalation_ladder(monkeypatch):
-    """Degenerate-at-512 poses retry the hint at I=768 before surrendering
-    to the exact kernel; eye-in-range poses (degenerate at every I) fall
-    back; non-degenerate poses render at the configured intermediate."""
+    """Degenerate-at-512 poses retry the hint at I=768 then I=1024 (only
+    steps ABOVE the base intermediate) before surrendering to the exact
+    kernel; eye-in-range poses (degenerate at every I) fall back;
+    non-degenerate poses render at the configured intermediate."""
     import vokselis_tpu.ops.hybrid as hy
 
     calls = {}
@@ -537,7 +538,14 @@ def test_hybrid_pose_escalation_ladder(monkeypatch):
     r._call_traced(None, 64, 64)
     assert calls["mode"] == ("hybrid", 768, 128, 256)
 
-    hints = {512: (0, 128, True), 768: (0, 128, True)}
+    # degenerate at 768 too -> the ladder's last step (I=1024) catches it
+    hints = {512: (0, 128, True), 768: (0, 128, True),
+             1024: (128, 256, False)}
+    r._call_traced(None, 64, 64)
+    assert calls["mode"] == ("hybrid", 1024, 128, 256)
+
+    hints = {512: (0, 128, True), 768: (0, 128, True),
+             1024: (0, 128, True)}
     r._call_traced(None, 64, 64)
     assert calls["mode"] == ("exact",)
 

@@ -373,10 +373,13 @@ class HybridBonsaiRenderer:
         escalated = False
         if degen and hint is None:
             # magnification-degenerate poses may become representable at a
-            # larger intermediate (the bf16-resident MXU warp fits I=768):
-            # ~2.3x the fast frame's cost instead of the exact kernel's
-            # ~10x. Eye-in-slab-range poses stay degenerate at any I.
-            for ii_up in (768,):
+            # larger intermediate (the bf16-resident MXU stats warp fits
+            # I=1024 since the round-5 VMEM-cap raise): ~2-4x the fast
+            # frame's cost instead of the exact kernel's ~10x.
+            # Eye-in-slab-range poses stay degenerate at any I. Steps
+            # below the base intermediate are skipped (escalation must
+            # RAISE resolution).
+            for ii_up in (ii2 for ii2 in (768, 1024) if ii2 > ii):
                 w2, u2, d2 = pose_hint(camera_uniform, width, height,
                                        ii_up, self.dims)
                 if not d2:

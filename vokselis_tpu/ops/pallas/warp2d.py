@@ -367,6 +367,21 @@ _REWARP_ROWS = 128
 _REWARP_U = 256
 
 
+def _rewarp_window(ii: int, iw_pad: int):
+    """Pass-2 (adaptive re-warp) window, scaled with the intermediate:
+    footprint spans grow ~linearly with I (round-3 span measurements were
+    6-220 texels per 32px tile at I=512; at I=1024 the same poses need up
+    to ~440), so a fixed (128, 256) window that covered every I=512 pose
+    leaks overflows at I=1024 — measured round 5 as 8 zoom-1.0 off-axis
+    sweep poses at 1.1-1.9e-3 under a budget-32 re-march. The window is
+    VMEM-cheap (scratch 4*rows*u bf16, 1 MiB at (256, 512)) and only the
+    <= _REWARP_CAP overflowed tiles pay its matmul."""
+    scale = max(1, ii // 512)
+    rows = min(_REWARP_ROWS * scale, max((ii // 8) * 8, 8), ii)
+    win_u = min(_REWARP_U * scale, iw_pad)
+    return rows, win_u
+
+
 def _lane_blocked(chans_b):
     """(C, I, iw_pad) -> (C * n_jb, I, 128): split the lane axis into
     128-wide blocks and lift the block index to the leading dim, so the
@@ -692,8 +707,7 @@ def warp_stats_packed(chans, av_p, bu_p, ok_p, box_p, height, width,
 
     win1 = min(_win_rows(ii, height, width), max((ii // 8) * 8, 8), ii)
     win1_u = min(128, iw_pad)
-    win2 = min(_REWARP_ROWS, max((ii // 8) * 8, 8), ii)
-    win2_u = min(_REWARP_U, iw_pad)
+    win2, win2_u = _rewarp_window(ii, iw_pad)
     use2 = (_ADAPTIVE and adaptive and (win2 > win1 or win2_u > win1_u))
 
     chans_b = _lane_blocked(chans.astype(jnp.bfloat16))
@@ -827,8 +841,7 @@ def warp_bilinear_packed(chans, av_p, bu_p, hit_p, height, width,
 
     n_out = n_ch + (1 if with_overflow else 0)
     if _MXU and n_ch * ii * iw_pad * 2 <= _MXU_VMEM_CAP:
-        win2 = min(_REWARP_ROWS, max((ii // 8) * 8, 8), ii)
-        win2_u = min(_REWARP_U, iw_pad)
+        win2, win2_u = _rewarp_window(ii, iw_pad)
         if _ADAPTIVE and adaptive:
             win1 = min(_win_rows(ii, height, width),
                        max((ii // 8) * 8, 8), ii)
