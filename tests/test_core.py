@@ -301,3 +301,33 @@ def test_fast_transfer_poly_parity():
     a0 = bonsai_transfer_pow_fast_soa(jnp.zeros((8, 128)),
                                       jnp.full((8, 128), 1.3))[0]
     assert float(np.abs(np.asarray(a0)).max()) == 0.0
+
+
+def test_lowdeg_transfer_poly_parity():
+    """The round-5 composite-grade transfer (low-degree palette +
+    hardware-exp/log alpha, core.colors.bonsai_transfer_pow_lowdeg_soa)
+    vs the exact transcendental forms: alpha is EXACT (same exp/log),
+    palette channels <= 2e-5 — two decades under the fast path's 1e-3
+    contract, and palette error does not accumulate along a ray (convex
+    combination). Guards the committed low-degree coefficients."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vokselis_tpu.core.colors import (
+        bonsai_transfer_pow_lowdeg_soa,
+        bonsai_transfer_soa,
+    )
+
+    samp = jnp.asarray(np.linspace(0.0, 1.0, 4001, dtype=np.float32)[None, :])
+    # no irho domain cap in the lowdeg form — probe beyond the old <=3
+    irho = jnp.asarray(np.linspace(1.0, 5.0, 41, dtype=np.float32)[:, None])
+    a_f, r_f, g_f, b_f = bonsai_transfer_pow_lowdeg_soa(
+        jnp.broadcast_to(samp, (41, 4001)), jnp.broadcast_to(irho, (41, 4001))
+    )
+    tv, r_e, g_e, b_e = bonsai_transfer_soa(samp)
+    a_e = 1.0 - jnp.exp(irho * jnp.log1p(-tv))
+    assert np.abs(np.asarray(a_f) - np.asarray(a_e)).max() < 1e-6
+    for got, want in ((r_f, r_e), (g_f, g_e), (b_f, b_e)):
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5
+    a0 = bonsai_transfer_pow_lowdeg_soa(jnp.zeros((8, 128)),
+                                        jnp.full((8, 128), 1.3))[0]
+    assert float(np.abs(np.asarray(a0)).max()) == 0.0

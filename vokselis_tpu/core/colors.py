@@ -170,3 +170,36 @@ def bonsai_transfer_pow_fast_soa(samp, irho):
     w = 1.0 - (2.0 / _YMIN) * y
     alpha = -(y * _horner(_EXP_Q, w))
     return alpha, r, g, b
+
+
+# Round-5 LOW-DEGREE palette set for the shear-warp composite ONLY. The
+# round-5 VOK_COMP_ABLATE probe at I=1024 showed the composite kernel is
+# ~80% polynomial fmas (2.05 ms full vs 0.44 ms with smoothstep + hardware
+# exp/log only) — the 1e-6-grade degrees above are three decades tighter
+# than the fast path's 1e-3 error contract needs. Degrees from the
+# tools/fit_transfer_poly.py degree scan (same fitter, f32-validated):
+#   r deg 8: 1.43e-5   g deg 11: 1.21e-5   b deg 5: 1.74e-5
+# Palette error does NOT accumulate along a ray (channels are convex
+# combinations, sum of weights <= 1), so the per-sample bound is the
+# per-pixel bound. The re-march / stats paths keep the 1e-6 set above.
+_PAL_R_LO = (-0.01637626811861992, 0.032187458127737045, 0.16447384655475616, -0.2470930814743042, -0.7600758671760559, 0.7643266916275024, 1.384738564491272, -0.696631133556366, 0.08001549541950226)  # noqa: E501
+_PAL_G_LO = (-0.07604426890611649, -0.12505008280277252, 0.6126497983932495, 0.8453051447868347, -2.4561009407043457, -2.66123104095459, 5.46185302734375, 4.237965106964111, -5.73836088180542, -2.6728928089141846, 1.8067647218704224, 0.7805516123771667)  # noqa: E501
+_PAL_B_LO = (-0.003448813920840621, -0.014389974996447563, 0.0682404488325119, 0.17226645350456238, -0.38846614956855774, 0.17294341325759888)  # noqa: E501
+
+
+def bonsai_transfer_pow_lowdeg_soa(samp, irho):
+    """Composite-grade transfer: low-degree palette polynomials (<= 1.7e-5
+    per channel, block above) + the EXACT rate fold
+    ``alpha = 1 - exp(irho * log(1 - tv))`` through hardware
+    transcendentals — measured CHEAPER than the 25-fma ln/exp Chebyshev
+    chain on this target (round-5 I=1024 ablation), with no _YMIN clamp,
+    so the irho <= 3 domain caveat of ``bonsai_transfer_pow_fast_soa``
+    does not apply here (alpha saturates exactly for any irho). tv = 0
+    stays exactly transparent: log(1) = 0 -> exp(0) = 1 -> alpha = 0.
+    Matches shaders/raycast_naive.wgsl:104-114 semantics + the irho
+    correction documented in ops.shear_warp."""
+    tv = smoothstep(0.10, 1.2, jnp.minimum(0.9, samp))
+    u = (2.0 / _TVMAX) * tv - 1.0
+    alpha = 1.0 - jnp.exp(irho * jnp.log(1.0 - tv))
+    return (alpha, _horner(_PAL_R_LO, u), _horner(_PAL_G_LO, u),
+            _horner(_PAL_B_LO, u))

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vokselis_tpu.core.colors import (
     bonsai_transfer_pow_fast_soa,
+    bonsai_transfer_pow_lowdeg_soa,
     bonsai_transfer_soa,
     smoothstep,
 )
@@ -68,6 +69,12 @@ _COMP_ABLATE = os.environ.get("VOK_COMP_ABLATE", "")
 # palette/pow in the composite (the polynomial mirror is the default —
 # <= 1.4e-6/sample vs exact, tools/fit_transfer_poly.py)
 _EXACT_TRANSFER = os.environ.get("VOK_EXACT_TRANSFER", "0") == "1"
+
+# A/B knob: VOK_COMP_LOWDEG=0 restores the 1e-6-grade polynomial set
+# (bonsai_transfer_pow_fast_soa). Default is the round-5 low-degree
+# palette + hardware-exp/log alpha (<= 1.7e-5/sample, measured ~2x
+# cheaper at I=1024 — see core/colors.bonsai_transfer_pow_lowdeg_soa).
+_LOWDEG = os.environ.get("VOK_COMP_LOWDEG", "1") == "1"
 
 OCC_EPS = 0.1  # slabs whose block max <= 0.1 are no-ops: smoothstep(0.10,..)
 
@@ -222,6 +229,9 @@ def _composite_chunks_kernel(
                 elif _EXACT_TRANSFER:  # A/B reference path
                     tv, cr, cg, cb = bonsai_transfer_soa(resv)
                     tv = 1.0 - jnp.exp(irho * jnp.log(1.0 - tv))
+                elif _LOWDEG:
+                    tv, cr, cg, cb = bonsai_transfer_pow_lowdeg_soa(
+                        resv, irho)
                 else:
                     tv, cr, cg, cb = bonsai_transfer_pow_fast_soa(resv, irho)
                 # reference's per-pixel march stop at alpha 0.95

@@ -61,6 +61,7 @@ from jax import lax
 from vokselis_tpu.core import geometry
 from vokselis_tpu.core.colors import (
     bonsai_transfer_pow_fast_soa,
+    bonsai_transfer_pow_lowdeg_soa,
     linear_to_srgb,
 )
 from vokselis_tpu.ops.reference import MAX_STEPS_BONSAI
@@ -430,12 +431,19 @@ def _render_fast(
             res_o = lax.cond(sgn > 0, lambda t: t, lambda t: lax.rev(t, (0,)),
                              res)
             # transfer + palette + irho rate correction via the SAME
-            # polynomial pass the Pallas composite uses (core.colors.
-            # bonsai_transfer_pow_fast_soa, <= 1.4e-6/sample vs the
-            # transcendental form) so fast-mode semantics are identical
-            # across backends; palette color comes from the RAW transfer
-            # value, alpha is 1-(1-tv)^irho (exact-march steps per slab)
-            tv, cr, cg, cb = bonsai_transfer_pow_fast_soa(res_o, irho[None])
+            # pass the Pallas composite uses (low-degree palette +
+            # hardware-exp/log alpha by default, VOK_COMP_LOWDEG=0 for the
+            # 1e-6 polynomial set) so fast-mode semantics are identical
+            # across backends — the CPU mini-sweep validates the hybrid
+            # ladder through THIS path; palette color comes from the RAW
+            # transfer value, alpha is 1-(1-tv)^irho (exact steps/slab)
+            from vokselis_tpu.ops.pallas.shear_resample import _LOWDEG
+            if _LOWDEG:
+                tv, cr, cg, cb = bonsai_transfer_pow_lowdeg_soa(
+                    res_o, irho[None])
+            else:
+                tv, cr, cg, cb = bonsai_transfer_pow_fast_soa(
+                    res_o, irho[None])
             one_m = 1.0 - tv
             cum = jnp.cumprod(one_m, axis=0)  # inclusive transmittance
             t_excl = jnp.concatenate(
