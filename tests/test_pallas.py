@@ -299,6 +299,46 @@ def test_bonsai_kernel_border_volume_parity():
         assert err.mean() < 1e-5
 
 
+def test_banded_resample_matches_full():
+    """The round-5 banded second matmul (dv windows from _band_meta) vs
+    the full contraction, on a volume deep enough to enable banding
+    (d >= _WB), including slabs whose windows overflow (|s_k| large ->
+    per-slab full-contraction fallback) and sentinel-padded slabs."""
+    import numpy as np
+    import jax.numpy as jnp
+    import vokselis_tpu.ops.pallas.shear_resample as sr
+
+    assert sr._BAND, "banding must be on by default"
+    rng = np.random.default_rng(3)
+    d, g, ii = 128, 61, 256  # d > _WB -> real windows; ii gives 2 blocks
+    vol = jnp.asarray(rng.random((g, d, d)), jnp.float32)
+    gp = 64
+    em = -40.0
+    denom = 80.0  # s_k in ~[0.5, 1.3]: shallow slabs band, steep overflow
+    s_k = (np.arange(gp) + 0.5 - em) / denom  # up to ~1.7
+    grid = np.linspace(-5, d + 5, ii)
+    pos_u = em + s_k[:, None] * (grid[None, :] - em)
+    pos_v = em + s_k[:, None] * (grid[None, :] * 0.9 - em)
+    valid = (np.arange(gp) < g)[:, None]
+    pos_u = jnp.asarray(np.where(valid, pos_u, -1e6), jnp.float32)
+    pos_v = jnp.asarray(np.where(valid, pos_v, -1e6), jnp.float32)
+
+    # the steep-slab geometry must actually exercise BOTH paths
+    _, bflag = sr._band_meta(pos_v, d, ii // 128)
+    bflag = np.asarray(bflag)[:g]
+    assert bflag.min() == 0 and bflag.max() == 1, bflag
+
+    res_band = sr.resample_slabs(vol, pos_u, pos_v, interpret=True)
+    try:
+        sr._BAND = False
+        res_full = sr.resample_slabs(vol, pos_u, pos_v, interpret=True)
+    finally:
+        sr._BAND = True
+    err = np.abs(np.asarray(res_band, np.float32)
+                 - np.asarray(res_full, np.float32)).max()
+    assert err == 0.0, err
+
+
 def test_resample_composite_matches_dense_reference():
     """shear_resample's fused resample + chunk-compacted composite vs a
     dense jnp resample + sequential composite, both marching directions

@@ -78,45 +78,91 @@ _LOWDEG = os.environ.get("VOK_COMP_LOWDEG", "1") == "1"
 
 OCC_EPS = 0.1  # slabs whose block max <= 0.1 are no-ops: smoothstep(0.10,..)
 
-
-def _resample_body(k, pos_u_ref, pos_v_ref, vol_ref, out_ref, *, d, ii, nrb):
-    """Shared slab-resample body: full-width hat weights + both MXU
-    matmuls for slab k, written as the natural (nrb, 8, I) row split."""
-    # wv stored TRANSPOSED (D rows, I lanes): iota rides sublanes, the
-    # position row broadcasts over lanes — no (1, I) -> (I, 1) relayout
-    dv = lax.broadcasted_iota(jnp.int32, (d, ii), 0).astype(jnp.float32)
-    pv = pos_v_ref[pl.ds(k, 1), :]  # (1, I)
-    wv = jnp.maximum(0.0, 1.0 - jnp.abs(pv - dv)).astype(_SLAB_DTYPE)
-    pu = pos_u_ref[pl.ds(k, 1), :]  # (1, I)
-    wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu - dv)).astype(_SLAB_DTYPE)
-
-    # tmp[dv, u] = sum_du vol[dv, du] wu[du, u] — (D, D) @ (D, I) MXU
-    tmp = lax.dot_general(
-        vol_ref[0], wu, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(_SLAB_DTYPE)
-    # res[i, u] = sum_dv wv_t[dv, i] tmp[dv, u] — contract sublanes of both
-    res = lax.dot_general(
-        wv, tmp, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (I, I) f32
-    out_ref[0, :, 0, :, :] = res.reshape(nrb, 8, ii).astype(_SLAB_DTYPE)
+# dv band width for the BANDED second matmul (round 5): the hat weights
+# wv have support width < 2 texels per intermediate row, so res's
+# contraction over all D volume rows burns ~4/5 of its MACs on zeros at
+# I=1024/D=256 (268M of the 335M MACs/slab live in matmul 2). Each
+# 128-row block of the intermediate touches only a ~D*128/I + 3 wide dv
+# window (positions are affine per slab), so the block's dot contracts
+# just [dv0, dv0+_WB) — dv0 per (slab, block) is precomputed in XLA and
+# scalar-prefetched; slabs whose window overflows _WB (degenerate
+# geometry, |s_k| large) fall back to the full contraction PER SLAB.
+# VOK_BAND_RESAMPLE=0 restores the full contraction everywhere.
+_WB = 64
+_BAND = os.environ.get("VOK_BAND_RESAMPLE", "1") == "1"
 
 
-def _resample_kernel(pos_u_ref, pos_v_ref, vol_ref, out_ref, *, d, ii, nrb):
-    _resample_body(pl.program_id(0), pos_u_ref, pos_v_ref, vol_ref, out_ref,
-                   d=d, ii=ii, nrb=nrb)
+def _band_meta(pos_v, d, nb):
+    """Per-(slab, 128-row-block) aligned dv window starts + per-slab
+    bandable flags, computed XLA-side from the affine position endpoints.
+    Returns (gp*nb,) int32 dv0 and (gp,) int32 flags."""
+    gp, ii = pos_v.shape
+    rows = pos_v.reshape(gp, nb, ii // nb)
+    lo = jnp.minimum(rows[:, :, 0], rows[:, :, -1])
+    hi = jnp.maximum(rows[:, :, 0], rows[:, :, -1])
+    # hat support of row i is dv in (pv_i - 1, pv_i + 1): pad a texel on
+    # each side, align the start down to 8 (dynamic sublane reads), clip
+    # into [0, d - _WB]
+    lo_i = jnp.floor(jnp.clip(lo, -1e9, 1e9)).astype(jnp.int32) - 1
+    lo_a = jnp.clip(lo_i - jnp.mod(lo_i, 8), 0, max(d - _WB, 0))
+    hi_need = jnp.minimum(
+        jnp.ceil(jnp.clip(hi, -1e9, 1e9)).astype(jnp.int32) + 2, d)
+    ok_rb = (hi_need - lo_a) <= _WB
+    bflag = ok_rb.all(axis=1).astype(jnp.int32)
+    return lo_a.reshape(-1).astype(jnp.int32), bflag
 
 
-def _resample_kernel_gated(occ_ref, pos_u_ref, pos_v_ref, vol_ref, out_ref,
-                           *, d, ii, nrb):
+def _resample_kernel(occ_ref, bflag_ref, band0_ref, pos_u_ref, pos_v_ref,
+                     vol_ref, out_ref, wv_s, tmp_s, *, d, ii, nrb, nb):
+    """One grid step per slab: hat weights + matmul 1 into VMEM scratch,
+    then either nb banded block dots (dv window [dv0, dv0+_WB)) or the
+    full-contraction dot, per the prefetched bandable flag."""
     k = pl.program_id(0)
     hot = occ_ref[k] > 0
 
     @pl.when(hot)
     def _():
-        _resample_body(k, pos_u_ref, pos_v_ref, vol_ref, out_ref,
-                       d=d, ii=ii, nrb=nrb)
+        # wv stored TRANSPOSED (D rows, I lanes): iota rides sublanes, the
+        # position row broadcasts over lanes — no (1, I) -> (I, 1) relayout
+        dv = lax.broadcasted_iota(jnp.int32, (d, ii), 0).astype(jnp.float32)
+        pv = pos_v_ref[pl.ds(k, 1), :]  # (1, I)
+        wv_s[:] = jnp.maximum(0.0, 1.0 - jnp.abs(pv - dv)).astype(_SLAB_DTYPE)
+        pu = pos_u_ref[pl.ds(k, 1), :]  # (1, I)
+        wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu - dv)).astype(_SLAB_DTYPE)
+
+        # tmp[dv, u] = sum_du vol[dv, du] wu[du, u] — (D, D) @ (D, I) MXU
+        tmp_s[:] = lax.dot_general(
+            vol_ref[0], wu, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(_SLAB_DTYPE)
+
+        if nb > 0:
+            @pl.when(bflag_ref[k] > 0)
+            def _():
+                rpb = (ii // nb) // 8  # row-blocks of the out layout per dot
+                for rb in range(nb):
+                    dv0 = band0_ref[k * nb + rb]
+                    wv_blk = wv_s[pl.ds(dv0, _WB),
+                                  rb * (ii // nb):(rb + 1) * (ii // nb)]
+                    tmp_blk = tmp_s[pl.ds(dv0, _WB), :]
+                    blk = lax.dot_general(
+                        wv_blk, tmp_blk, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (128, I)
+                    out_ref[0, rb * rpb:(rb + 1) * rpb, 0, :, :] = (
+                        blk.reshape(rpb, 8, ii).astype(_SLAB_DTYPE))
+
+        full_gate = (bflag_ref[k] == 0) if nb > 0 else (occ_ref[k] > 0)
+
+        @pl.when(full_gate)
+        def _():
+            # res[i, u] = sum_dv wv[dv, i] tmp[dv, u] — contract sublanes
+            res = lax.dot_general(
+                wv_s[:], tmp_s[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (I, I) f32
+            out_ref[0, :, 0, :, :] = res.reshape(nrb, 8, ii).astype(
+                _SLAB_DTYPE)
 
     @pl.when(jnp.logical_not(hot))
     def _():
@@ -143,6 +189,18 @@ def resample_slabs(volm, pos_u, pos_v, occ=None, interpret: bool = False):
     nrb = ii // 8
     c = gp // 8
 
+    # banded matmul 2 needs 128-row blocks and a volume deeper than the
+    # band; otherwise every slab takes the full-contraction path
+    band_on = _BAND and d >= _WB and ii % 128 == 0
+    nb = ii // 128 if band_on else 0
+    if band_on:
+        band0, bflag = _band_meta(pos_v, d, nb)
+    else:
+        band0 = jnp.zeros((max(gp * nb, 1),), jnp.int32)
+        bflag = jnp.zeros((gp,), jnp.int32)
+    if occ is None:
+        occ = jnp.ones((gp,), jnp.int32)
+
     out_spec = pl.BlockSpec(
         (1, nrb, 1, 8, ii),
         lambda k, *_: (k // 8, 0, k % 8, 0, 0),
@@ -155,27 +213,22 @@ def resample_slabs(volm, pos_u, pos_v, occ=None, interpret: bool = False):
                      memory_space=pltpu.VMEM),
     ]
     out_shape = jax.ShapeDtypeStruct((c, nrb, 8, 8, ii), _SLAB_DTYPE)
-    if occ is None:
-        return pl.pallas_call(
-            partial(_resample_kernel, d=d, ii=ii, nrb=nrb),
-            grid=(gp,),
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(pos_u, pos_v, volm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(gp,),
         in_specs=in_specs,
         out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((d, ii), _SLAB_DTYPE),  # wv (transposed)
+            pltpu.VMEM((d, ii), _SLAB_DTYPE),  # tmp (matmul-1 result)
+        ],
     )
     return pl.pallas_call(
-        partial(_resample_kernel_gated, d=d, ii=ii, nrb=nrb),
+        partial(_resample_kernel, d=d, ii=ii, nrb=nrb, nb=nb),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(occ, pos_u, pos_v, volm)
+    )(occ, bflag, band0, pos_u, pos_v, volm)
 
 
 def _composite_chunks_kernel(
