@@ -95,21 +95,23 @@ _BAND = os.environ.get("VOK_BAND_RESAMPLE", "1") == "1"
 def _band_meta(pos_v, d, nb):
     """Per-(slab, 128-row-block) aligned dv window starts + per-slab
     bandable flags, computed XLA-side from the affine position endpoints.
-    Returns (gp*nb,) int32 dv0 and (gp,) int32 flags."""
+    Returns (gp*nb,) int32 dv0/16 and (gp,) int32 flags. The start is
+    stored PRE-DIVIDED by 16 and multiplied back in-kernel: Mosaic must
+    statically prove the dynamic sublane start's alignment (a prefetched
+    scalar can't be proven; 16*q can), and 16 covers bf16 sublane tiling."""
     gp, ii = pos_v.shape
     rows = pos_v.reshape(gp, nb, ii // nb)
     lo = jnp.minimum(rows[:, :, 0], rows[:, :, -1])
     hi = jnp.maximum(rows[:, :, 0], rows[:, :, -1])
     # hat support of row i is dv in (pv_i - 1, pv_i + 1): pad a texel on
-    # each side, align the start down to 8 (dynamic sublane reads), clip
-    # into [0, d - _WB]
+    # each side, align the start down to 16, clip into [0, d - _WB]
     lo_i = jnp.floor(jnp.clip(lo, -1e9, 1e9)).astype(jnp.int32) - 1
-    lo_a = jnp.clip(lo_i - jnp.mod(lo_i, 8), 0, max(d - _WB, 0))
+    lo_q = jnp.clip(lo_i // 16, 0, max((d - _WB) // 16, 0))
     hi_need = jnp.minimum(
         jnp.ceil(jnp.clip(hi, -1e9, 1e9)).astype(jnp.int32) + 2, d)
-    ok_rb = (hi_need - lo_a) <= _WB
+    ok_rb = (hi_need - lo_q * 16) <= _WB
     bflag = ok_rb.all(axis=1).astype(jnp.int32)
-    return lo_a.reshape(-1).astype(jnp.int32), bflag
+    return lo_q.reshape(-1).astype(jnp.int32), bflag
 
 
 def _resample_kernel(occ_ref, bflag_ref, band0_ref, pos_u_ref, pos_v_ref,
@@ -141,7 +143,7 @@ def _resample_kernel(occ_ref, bflag_ref, band0_ref, pos_u_ref, pos_v_ref,
             def _():
                 rpb = (ii // nb) // 8  # row-blocks of the out layout per dot
                 for rb in range(nb):
-                    dv0 = band0_ref[k * nb + rb]
+                    dv0 = band0_ref[k * nb + rb] * 16
                     wv_blk = wv_s[pl.ds(dv0, _WB),
                                   rb * (ii // nb):(rb + 1) * (ii // nb)]
                     tmp_blk = tmp_s[pl.ds(dv0, _WB), :]
