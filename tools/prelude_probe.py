@@ -113,34 +113,44 @@ def main():
 
     record("ray_bbox sorts", bbox_body, xr, hit)
 
-    # occupancy-table chain (cumsum + window counts + argsort compaction)
-    from vokselis_tpu.ops.shear_warp import _window_counts
+    # occupancy-table chain as _render_fast ACTUALLY runs it since the
+    # round-5 vectorization: _window_any mask-reduce (no take_along_axis
+    # — the scalar-rate prefix-sum gathers were the round-4 tax), the
+    # per-(row-block, chunk) occ_b reshape, and composite_chunks'
+    # (nrb, C) compaction argsort + band meta
+    from vokselis_tpu.ops.shear_warp import _window_any
+    from vokselis_tpu.ops.pallas.shear_resample import _band_meta
 
     d = 256
     gp = d  # padded slab count
     ng = d // 8
     tab = jnp.asarray(rng.random((d - 1, ng)) > 0.6)
+    pos_fake = jnp.asarray(
+        rng.random((gp, II)).cumsum(axis=1) * (260.0 / II), jnp.float32)
 
-    def occ_body(eps, tab):
-        c = jnp.cumsum(tab.astype(jnp.int32), axis=1)
-        c = jnp.pad(c, ((0, gp - tab.shape[0]), (1, 0)))
+    def occ_body(eps, tab, pos_v):
+        tabp = jnp.pad(tab, ((0, gp - tab.shape[0]), (0, 0)))
         n_ub = II // 128
         nrb = II // 8
         lo = jnp.broadcast_to(jnp.arange(n_ub, dtype=jnp.float32) * 40 + eps,
                               (gp, n_ub))
-        occ2_u = _window_counts(c, lo, lo + 90.0) > 0
+        occ2_u = _window_any(tabp, lo, lo + 90.0)
         lo_v = jnp.broadcast_to(
             jnp.arange(nrb, dtype=jnp.float32) * 2 + eps, (gp, nrb))
-        occ2_v = _window_counts(c, lo_v, lo_v + 11.0) > 0
-        pair = occ2_v[:, :, None] & occ2_u[:, None, :]
-        occ_chunk = pair.reshape(gp // 8, 8, nrb, n_ub).any(axis=1)
-        occ_b = occ_chunk.transpose(1, 2, 0).reshape(nrb * n_ub, gp // 8)
-        cids = jnp.arange(gp // 8, dtype=jnp.int32)
-        key = jnp.where(occ_b, cids[None, :], jnp.int32(2 * gp // 8))
+        occ2_v = _window_any(tabp, lo_v, lo_v + 11.0)
+        any_u = occ2_u.any(axis=1)
+        occ_k = (any_u & occ2_v.any(axis=1)).astype(jnp.int32)
+        occ_rb = occ2_v & any_u[:, None]
+        occ_b = occ_rb.reshape(gp // 8, 8, nrb).any(axis=1).T  # (nrb, C)
+        c = gp // 8
+        cids = jnp.arange(c, dtype=jnp.int32)
+        key = jnp.where(occ_b, cids[None, :], jnp.int32(2 * c))
         ids = jnp.argsort(key, axis=1).astype(jnp.int32)
-        return (ids.sum() + occ_b.sum()).astype(jnp.float32)
+        band0, bflag = _band_meta(pos_v + eps, d, II // 128)
+        return (ids.sum() + occ_k.sum() + band0.sum()
+                + bflag.sum()).astype(jnp.float32)
 
-    record("occ chain", occ_body, tab)
+    record("occ chain", occ_body, tab, pos_fake)
 
     # scoring + selection tail (stats plane -> ids), as in _render_hybrid
     from vokselis_tpu.ops.hybrid import _dilate3, select_units
