@@ -154,6 +154,26 @@ def main():
         return p[0, 0, 0] + p[-1, -1, -1]
     record("warp", lambda: slope_time(loop(warp_body, chans0, avv, buu)))
 
+    # the hybrid's ACTUAL warp: 4-channel stats contract, packed coords
+    from vokselis_tpu.core.geometry import packed_pixel_grid
+    from vokselis_tpu.ops.pallas.warp2d import (
+        mxu_stats_eligible, warp_stats_packed,
+    )
+
+    if mxu_stats_eligible(ii):
+        ixp, iyp = packed_pixel_grid(width, height)
+        av_p = iyp.astype(jnp.float32) * (float(ii) / height)
+        bu_p = ixp.astype(jnp.float32) * (float(ii) / width)
+        okp = jnp.ones_like(av_p)
+        chans4 = jnp.zeros((4, ii, ii), jnp.float32)
+
+        def statswarp_body(eps, ch, av, bu, ok):
+            outs = warp_stats_packed(ch + eps, av, bu, ok, ok,
+                                     height, width)
+            return outs[0][0, 0] + outs[3][-1, -1]
+        record("statswarp", lambda: slope_time(
+            loop(statswarp_body, chans4, av_p, bu_p, okp)))
+
     def full_builder(n):
         def frames(pk, vp, pv, ip):
             def body(i, acc):
