@@ -87,6 +87,7 @@ def main():
     exact = {k: render(pack, c.uniform(), W, H)[0] for k, c in poses.items()}
 
     results = []
+    first_build = None
     for budget in budgets:
         if budget in done:
             results.append(done[budget])
@@ -121,6 +122,8 @@ def main():
         # discarded anomalies — every timing claim quotes mean +- spread.
         # Each repeat is an independent slope_time (which itself medians
         # 5 1-vs-N slope estimates); the jit cache makes repeats cheap.
+        if first_build is None:
+            first_build = build  # drift sentinel: re-timed after the run
         reps = [slope_time(build) * 1000 for _ in range(N_REPEATS)]
         ms_mean = float(np.mean(reps))
         ms_spread = float(np.max(reps) - np.min(reps))
@@ -172,12 +175,28 @@ def main():
         is_conj = False
     if chosen is not None:
         chosen = dict(chosen, conjunction=is_conj)
+    # within-run drift sentinel (round-5 lesson: the tunnel's own speed
+    # drifts by ~10-20% across hours — cross-run ladder deltas are NOT
+    # code effects): re-time the first budget's cached variant at the END
+    # of the run; the first-vs-end gap bounds the drift inside THIS run.
+    drift = None
+    if first_build is not None:
+        first_fresh = next(r for r in results if r["budget"] not in done)
+        end_reps = [slope_time(first_build) * 1000
+                    for _ in range(N_REPEATS)]
+        drift = {"budget": first_fresh["budget"],
+                 "start_ms": first_fresh["ms"],
+                 "end_ms": round(float(np.mean(end_reps)), 3),
+                 "end_reps": [round(r, 3) for r in end_reps]}
+        print(f"drift sentinel: {drift}", flush=True)
+
     out = {"operating_point": chosen,
            "fit": {"intercept_ms": round(intercept, 3),
                    "slope_ms_per_tile": round(slope, 5),
                    "fit_rms_resid_ms": round(resid, 3),
                    "n_fit_points": int(len(ms)),
                    "pure_fast_ms": b0},
+           "drift_sentinel": drift,
            "ladder": results,
            "note": ("conjunction satisfied" if is_conj else
                     "no 500-Mrays/s conjunction on this chip; operating "
