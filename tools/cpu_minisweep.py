@@ -47,7 +47,10 @@ from vokselis_tpu.ops import reference
 from vokselis_tpu.volume import get_bonsai
 
 W = H = 256
-CKPT = "/tmp/cpu_minisweep.jsonl"
+# overridable so variant sweeps (single-tile selection, other budgets)
+# don't collide with the canonical pair/budget-32 checkpoint
+CKPT = os.environ.get("VOK_MINISWEEP_CKPT", "/tmp/cpu_minisweep.jsonl")
+BUDGET = int(os.environ.get("VOK_MINISWEEP_BUDGET", "32"))
 
 
 def main():
@@ -57,7 +60,7 @@ def main():
             done.add(json.loads(ln)["pose"])
 
     vol = get_bonsai()
-    hy = HybridBonsaiRenderer(vol, intermediate=256, budget=32)
+    hy = HybridBonsaiRenderer(vol, intermediate=256, budget=BUDGET)
     volj = jnp.asarray(vol)
 
     with open(CKPT, "a") as f:
