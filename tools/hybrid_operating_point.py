@@ -66,6 +66,15 @@ def main():
                             target=(0.5, 0.5, 0.5), aspect=1.0),
         "z1.0-tilt": Camera(zoom=1.0, pitch=-0.35, yaw=0.0,
                             target=(0.5, 0.5, 0.5), aspect=1.0),
+        # round-5 lesson: the 4-pose set above overfit (its zoom-1.0
+        # members are all yaw=0) — the b=32 op point it chose failed 8
+        # sweep poses, worst 1.93e-3 at the TILTED DIAGONAL below, plus
+        # the steep pitch-1.2 class. Any budget this ladder picks must
+        # clear these two representatives too.
+        "z1.0-dtilt": Camera(zoom=1.0, pitch=-0.35, yaw=7 * math.pi / 4,
+                             target=(0.5, 0.5, 0.5), aspect=1.0),
+        "z1.0-steep": Camera(zoom=1.0, pitch=1.2, yaw=0.0,
+                             target=(0.5, 0.5, 0.5), aspect=1.0),
     }
 
     vol = get_bonsai()

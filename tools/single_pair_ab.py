@@ -62,6 +62,11 @@ def main():
                             target=(0.5, 0.5, 0.5), aspect=1.0),
         "z1.0-tilt": Camera(zoom=1.0, pitch=-0.35, yaw=0.0,
                             target=(0.5, 0.5, 0.5), aspect=1.0),
+        # the round-5 sweep-overfit classes (see hybrid_operating_point)
+        "z1.0-dtilt": Camera(zoom=1.0, pitch=-0.35, yaw=7 * math.pi / 4,
+                             target=(0.5, 0.5, 0.5), aspect=1.0),
+        "z1.0-steep": Camera(zoom=1.0, pitch=1.2, yaw=0.0,
+                             target=(0.5, 0.5, 0.5), aspect=1.0),
     }
 
     vol = get_bonsai()
